@@ -1,0 +1,197 @@
+"""MaskCycleGAN-VC generator, TPU-native.
+
+Capability/numerics parity with the reference Generator
+(``/root/reference/mask_cyclegan_vc/model.py:106-280``), re-designed for
+TPU: NHWC activations (channels on lanes), float32 norm statistics,
+optional masked InstanceNorm for bucketed variable-length inference,
+and a single fused XLA computation under jit.
+
+Shape trace (B=batch, M=80 mel bins, T=frames, R=residual_in_channels=256):
+
+    x:(B,M,T), mask:(B,M,T)
+    stack([x*mask, mask], channel)              -> (B, M, T, 2)
+    conv1 (5,15)/(2,7) x2, true GLU             -> (B, M, T, R/2)
+    gated downsample k5 s2 p2                   -> (B, M/2, T/2, R)
+    gated downsample k5 s2 p2                   -> (B, M/4, T/4, R)
+    2D->1D reshape (channel-major, torch view)  -> (B, T/4, (M/4)*R)
+    conv1d k1 + IN ("tfan")                     -> (B, T/4, R)
+    6 x residual GLU blocks (k3, R->2R->R)      -> (B, T/4, R)
+    conv1d k1 + IN ("tfan")                     -> (B, T/4, (M/4)*R)
+    1D->2D reshape                              -> (B, M/4, T/4, R)
+    conv k5 p2 -> 4R, pixel-shuffle(2), IN, swish -> (B, M/2, T/2, R)
+    conv k5 p2 -> 2R, pixel-shuffle(2), IN, swish -> (B, M, T, R/2)
+    conv (5,15)/(2,7) -> 1, squeeze             -> (B, M, T)
+
+The reference's dead code (``Generator.downsample`` model.py:213-224 and the
+custom 3D ``PixelShuffle`` model.py:24-37) is intentionally not reproduced —
+it allocates no parameters, so checkpoints are unaffected.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from maskcyclegan_vc_tpu.ops.layers import (
+    Conv1dT,
+    Conv2dT,
+    GatedConv2d,
+    InstanceNorm,
+    pixel_shuffle_nhwc,
+    swish,
+)
+
+Dtype = Any
+
+
+def strided_len(length, kernel: int = 5, stride: int = 2, padding: int = 2):
+    """Output length of a torch-style strided conv: floor((L+2p-k)/s)+1."""
+    return (length + 2 * padding - kernel) // stride + 1
+
+
+def time_mask_from_lengths(lengths, width: int):
+    """(B,) lengths -> (B, 1, width, 1) {0,1} mask, 1 at valid frames."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width, 1), 2)
+    return (t < lengths[:, None, None, None]).astype(jnp.float32)
+
+
+class ResidualBlock(nn.Module):
+    """1D residual GLU block (reference ``ResidualLayer``, model.py:40-76).
+
+    (B, L, R) -> conv k3 -> 2R + IN (signal and gate branches), true GLU,
+    conv k3 -> R + IN, residual add.
+    """
+
+    features: int
+    hidden: int
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_mask=None):
+        kw = dict(kernel_size=3, strides=1, padding=1, dtype=self.dtype,
+                  param_dtype=self.param_dtype)
+        h = Conv1dT(self.hidden, name="conv1d_layer", **kw)(x)
+        h = InstanceNorm(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv1d_layer_norm")(h, time_mask)
+        g = Conv1dT(self.hidden, name="conv_layer_gates", **kw)(x)
+        g = InstanceNorm(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv_layer_gates_norm")(g, time_mask)
+        hg = h * jax.nn.sigmoid(g)
+        out = Conv1dT(self.features, name="conv1d_out_layer", **kw)(hg)
+        out = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="conv1d_out_layer_norm")(out, time_mask)
+        return x + out
+
+
+class Generator(nn.Module):
+    """Mask-guided CycleGAN-VC generator. 24,537,729 params at defaults."""
+
+    n_mels: int = 80
+    residual_channels: int = 256
+    num_residual_blocks: int = 6
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, lengths=None):
+        """Apply the generator.
+
+        Args:
+          x: (B, n_mels, T) z-normalized mel-spectrogram.
+          mask: (B, n_mels, T) frame-fill (FIF) mask, 1 = keep.
+          lengths: optional (B,) int32 valid frame counts; when given,
+            InstanceNorm uses masked statistics and padded frames are
+            zeroed, enabling bucketed variable-length inference under jit.
+
+        Returns:
+          (B, n_mels, T) converted mel-spectrogram.
+        """
+        R = self.residual_channels
+        B, M, T = x.shape
+        assert M == self.n_mels, f"expected {self.n_mels} mel bins, got {M}"
+        flat = (M // 4) * R
+
+        cdt = self.dtype or x.dtype
+
+        tm0 = tm1 = tm2 = tm_up1 = tm_up2 = None
+        if lengths is not None:
+            # Bucketed variable-length mode: bucket width must be /4-divisible
+            # so downsample(x2) then pixel-shuffle(x2) widths line back up.
+            assert T % 4 == 0, "masked inference requires T % 4 == 0 (pad to a bucket)"
+            l1 = strided_len(lengths)
+            l2 = strided_len(l1)
+            tm0 = time_mask_from_lengths(lengths, T)
+            tm1 = time_mask_from_lengths(l1, T // 2)
+            tm2 = time_mask_from_lengths(l2, T // 4)
+            # After pixel-shuffle the valid content spans 2*l2 / 4*l2 frames.
+            tm_up1 = time_mask_from_lengths(jnp.minimum(2 * l2, T // 2), T // 2)
+            tm_up2 = time_mask_from_lengths(jnp.minimum(4 * l2, T), T)
+
+        # (B, M, T, 2): masked mel in channel 0, the mask itself in channel 1
+        # (reference model.py:241 — the mask enters as a second input channel).
+        # In bucketed mode, zero both channels beyond the valid length so
+        # the bucket's tail is indistinguishable from conv zero-padding —
+        # this makes the masked forward exactly equal the unpadded one.
+        if tm0 is not None:
+            valid = tm0[:, 0, :, 0][:, None, :].astype(x.dtype)  # (B,1,T)
+            h = jnp.stack([x * mask * valid, mask * valid], axis=-1).astype(cdt)
+        else:
+            h = jnp.stack([x * mask, mask], axis=-1).astype(cdt)
+
+        conv_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        # Input true-GLU conv pair (model.py:116-126,242).
+        a = Conv2dT(R // 2, (5, 15), (1, 1), (2, 7), name="conv1", **conv_kw)(h)
+        g = Conv2dT(R // 2, (5, 15), (1, 1), (2, 7), name="conv1_gates", **conv_kw)(h)
+        h = a * jax.nn.sigmoid(g)
+        if tm0 is not None:
+            h = h * tm0.astype(h.dtype)
+
+        # Gated downsampling (model.py:129-139,245-246).
+        h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample1", **conv_kw)(h, tm1)
+        h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample2", **conv_kw)(h, tm2)
+
+        # 2D -> 1D, channel-major flatten matching torch
+        # ``view(B, C*H, W)`` (model.py:249-251): new channel = c*H + h.
+        _, H2, W2, _ = h.shape
+        h = h.transpose(0, 2, 3, 1).reshape(B, W2, R * H2)
+
+        tm2_1d = tm2[:, 0] if tm2 is not None else None  # (B, W2, 1)
+
+        h = Conv1dT(R, 1, 1, 0, name="conv2dto1dLayer", **conv_kw)(h)
+        h = InstanceNorm(R, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv2dto1dLayer_tfan")(h, tm2_1d)
+
+        for i in range(self.num_residual_blocks):
+            h = ResidualBlock(R, 2 * R, name=f"residualLayer{i + 1}",
+                              dtype=self.dtype, param_dtype=self.param_dtype)(h, tm2_1d)
+
+        h = Conv1dT(flat, 1, 1, 0, name="conv1dto2dLayer", **conv_kw)(h)
+        h = InstanceNorm(flat, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="conv1dto2dLayer_tfan")(h, tm2_1d)
+
+        # 1D -> 2D inverse reshape (model.py:270-271: view(B, R, M/4, -1)).
+        h = h.reshape(B, W2, R, H2).transpose(0, 3, 1, 2)  # (B, H2, W2, R)
+
+        # Upsampling: conv -> pixel shuffle -> IN -> swish (model.py:226-237).
+        h = Conv2dT(4 * R, (5, 5), (1, 1), (2, 2), name="upSample1_conv", **conv_kw)(h)
+        h = pixel_shuffle_nhwc(h, 2)
+        h = InstanceNorm(R, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="upSample1_norm")(h, tm_up1)
+        h = swish(h)
+
+        h = Conv2dT(2 * R, (5, 5), (1, 1), (2, 2), name="upSample2_conv", **conv_kw)(h)
+        h = pixel_shuffle_nhwc(h, 2)
+        h = InstanceNorm(R // 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="upSample2_norm")(h, tm_up2)
+        h = swish(h)
+
+        out = Conv2dT(1, (5, 15), (1, 1), (2, 7), name="lastConvLayer", **conv_kw)(h)
+        out = out[..., 0]  # (B, M, T)
+        if tm0 is not None:
+            out = out * tm0[:, 0, :, 0][:, None, :].astype(out.dtype)
+        return out.astype(jnp.float32)

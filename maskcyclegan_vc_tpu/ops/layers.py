@@ -1,0 +1,219 @@
+"""Core neural-net ops, TPU-first.
+
+Layout convention: activations are NHWC / NLC — channels last, so the
+channel dim maps onto TPU lanes (128) and convolutions lower onto the MXU
+without transposes.  The PyTorch reference uses NCHW throughout
+(``/root/reference/mask_cyclegan_vc/model.py``); we only match its
+*numerics* (padding conventions, InstanceNorm eps/affine semantics,
+gating flavors), not its layout.
+
+Numerics parity notes (vs. reference ``model.py``):
+  * Conv: torch ``nn.Conv2d(k, stride, padding=p)`` == XLA conv with
+    explicit symmetric padding ``[(ph, ph), (pw, pw)]``.
+  * InstanceNorm: per-(sample, channel) stats over spatial dims, biased
+    variance, ``eps=1e-5``, affine (scale init 1, bias init 0) — exactly
+    torch ``InstanceNorm{1,2}d(affine=True)``.
+  * Two gating flavors exist in the reference and both are kept:
+    ``swish`` (``x * sigmoid(x)``, the reference's mislabeled "GLU",
+    model.py:12-21) and the true two-conv GLU (model.py:74,101-103).
+  * PixelShuffle matches torch ``nn.PixelShuffle(2)`` channel ordering
+    (model.py:232) translated to NHWC.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """Torch Conv default init: kaiming_uniform(a=sqrt(5)).
+
+    For flax HWIO kernels ``shape = (*kernel_spatial, in_ch, out_ch)``;
+    fan_in = in_ch * prod(kernel_spatial); bound = 1/sqrt(fan_in).
+    """
+    fan_in = int(shape[-2]) * int(math.prod(shape[:-2]))
+    bound = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def make_torch_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def swish(x):
+    """x * sigmoid(x) — the reference's self-gated "GLU" (model.py:12-21)."""
+    return x * jax.nn.sigmoid(x)
+
+
+class Conv2dT(nn.Module):
+    """2D conv with torch semantics (symmetric explicit padding, torch init).
+
+    Input/output NHWC.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Tuple[int, int] = (0, 0)
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        fan_in = in_ch * kh * kw
+        pad = [(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])]
+        return nn.Conv(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=pad,
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+class Conv1dT(nn.Module):
+    """1D conv with torch semantics. Input/output (B, L, C)."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        fan_in = in_ch * self.kernel_size
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.strides,),
+            padding=[(self.padding, self.padding)],
+            use_bias=self.use_bias,
+            kernel_init=torch_conv_kernel_init,
+            bias_init=make_torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+
+
+def _masked_moments(x, time_mask, axes):
+    """Mean/var over `axes` counting only positions where time_mask == 1.
+
+    x: (B, ..., C); time_mask broadcastable to x with 1 at valid frames.
+    Stats use the biased variance (torch InstanceNorm semantics).
+    """
+    x32 = x.astype(jnp.float32)
+    m = jnp.broadcast_to(time_mask.astype(jnp.float32), x32.shape)
+    denom = jnp.maximum(jnp.sum(m, axis=axes, keepdims=True), 1.0)
+    mean = jnp.sum(x32 * m, axis=axes, keepdims=True) / denom
+    var = jnp.sum(jnp.square(x32 - mean) * m, axis=axes, keepdims=True) / denom
+    return mean, var
+
+
+class InstanceNorm(nn.Module):
+    """Affine instance norm over all non-batch, non-channel axes.
+
+    Matches torch ``InstanceNorm{1,2}d(num_features, affine=True)``:
+    biased variance, eps 1e-5, scale init 1 / bias init 0
+    (reference model.py:52-69,91-99 et al.).
+
+    ``time_mask`` (optional, broadcastable, 1=valid) computes masked
+    statistics so padded frames don't pollute per-channel moments —
+    needed for bucketed variable-length inference under jit (SURVEY §5.7).
+    Stats are always accumulated in float32.
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_mask=None):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        axes = tuple(range(1, x.ndim - 1))
+        if time_mask is None:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=axes, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+        else:
+            mean, var = _masked_moments(x, time_mask, axes)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        out_dtype = self.dtype or x.dtype
+        y = y.astype(out_dtype)
+        if time_mask is not None:
+            y = y * time_mask.astype(out_dtype)
+        return y
+
+
+class GatedConv2d(nn.Module):
+    """True GLU downsample block: two parallel conv+IN, signal * sigmoid(gate).
+
+    Reference ``DownSampleGenerator`` (model.py:79-103). The two convs share
+    the same input read — a natural fusion target (one Pallas kernel reads
+    the input tile once and produces both branches).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int]
+    padding: Tuple[int, int]
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, time_mask=None):
+        kw = dict(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        h = Conv2dT(name="convLayer", **kw)(x)
+        h = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="convLayer_norm")(h, time_mask)
+        g = Conv2dT(name="convLayer_gates", **kw)(x)
+        g = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                         name="convLayer_gates_norm")(g, time_mask)
+        return h * jax.nn.sigmoid(g)
+
+
+def pixel_shuffle_nhwc(x, r: int = 2):
+    """NHWC pixel shuffle matching torch ``nn.PixelShuffle(r)`` ordering.
+
+    torch (NCHW): out[b, c, h*r+i, w*r+j] = in[b, c*r*r + i*r + j, h, w].
+    Here x: (B, H, W, C*r*r) -> (B, H*r, W*r, C).
+    """
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, i, w, j, c
+    return x.reshape(b, h * r, w * r, c)

@@ -1,0 +1,114 @@
+"""Shape and parameter-count contracts for Generator/Discriminator.
+
+Counts come from the reference architecture (SURVEY §2.4, derived from
+/root/reference/mask_cyclegan_vc/model.py:106-327): G 24,537,729;
+D 16,691,713 incl. the dead downSample4 block (10,488,832 params).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskcyclegan_vc_tpu.models import Discriminator, Generator
+from maskcyclegan_vc_tpu.utils.init import fast_init
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+@pytest.fixture(scope="session")
+def gen():
+    model = Generator()
+    x = jnp.zeros((2, 80, 64))
+    params = fast_init(model, 0, x, jnp.ones_like(x))
+    apply = jax.jit(lambda p, x, m: model.apply(p, x, m))
+    return model, params, apply
+
+
+@pytest.fixture(scope="session")
+def disc():
+    model = Discriminator()
+    x = jnp.zeros((2, 80, 64))
+    params = fast_init(model, 0, x)
+    apply = jax.jit(lambda p, x: model.apply(p, x))
+    return model, params, apply
+
+
+def test_generator_param_count(gen):
+    assert n_params(gen[1]) == 24_537_729
+
+
+def test_discriminator_param_count(disc):
+    assert n_params(disc[1]) == 16_691_713
+
+
+def test_discriminator_param_count_no_dead():
+    model = Discriminator(include_dead_params=False)
+    params = fast_init(model, 0, jnp.zeros((1, 80, 64)))
+    assert n_params(params) == 16_691_713 - 10_488_832
+
+
+def test_generator_shapes(gen):
+    model, params, apply = gen
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 80, 64), jnp.float32)
+    y = apply(params, x, jnp.ones_like(x))
+    assert y.shape == (2, 80, 64)
+    assert y.dtype == jnp.float32
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_generator_variable_length(gen):
+    """Fully convolutional in time: any T%4==0 round-trips the shape."""
+    model, params, _ = gen
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 80, 128), jnp.float32)
+    y = jax.jit(lambda p, x, m: model.apply(p, x, m))(params, x, jnp.ones_like(x))
+    assert y.shape == (1, 80, 128)
+
+
+def test_generator_masked_inference_matches_unpadded(gen):
+    """Bucketed inference: a T=64 utterance padded into a T=128 bucket with
+    masked InstanceNorm must closely match the unpadded forward."""
+    model, params, apply = gen
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(1, 80, 64), jnp.float32)
+    y_ref = apply(params, x, jnp.ones_like(x))
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 64)))
+    yp = jax.jit(lambda p, x, m, l: model.apply(p, x, m, lengths=l))(
+        params, xp, jnp.ones_like(xp), jnp.array([64])
+    )
+    np.testing.assert_array_equal(np.asarray(yp[:, :, 64:]), 0.0)
+    # With all pre-conv activations zeroed beyond the valid length, the
+    # bucketed forward equals the unpadded one up to float reassociation.
+    valid_ref = np.asarray(y_ref)
+    valid_pad = np.asarray(yp[:, :, :64])
+    err = np.abs(valid_ref - valid_pad).mean()
+    scale = np.abs(valid_ref).mean() + 1e-6
+    assert err / scale < 1e-3, f"relative error {err / scale:.6f}"
+
+
+def test_generator_mask_is_used(gen):
+    _, params, apply = gen
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 80, 64), jnp.float32)
+    mask = jnp.ones_like(x).at[:, :, 20:30].set(0.0)
+    y0 = apply(params, x, jnp.ones_like(x))
+    y1 = apply(params, x, mask)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_discriminator_shapes(disc):
+    _, params, apply = disc
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 80, 64), jnp.float32)
+    y = apply(params, x)
+    assert y.shape == (2, 10, 8)
+    arr = np.asarray(y)
+    assert ((arr >= 0) & (arr <= 1)).all(), "sigmoid output expected"
+
+
+def test_discriminator_odd_time(disc):
+    model, params, _ = disc
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 80, 100), jnp.float32)
+    y = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+    assert y.shape == (1, 10, 13)  # ceil(100/8) through three stride-2 convs
