@@ -43,11 +43,13 @@ class DownsampleD(nn.Module):
     padding: Tuple[int, int]
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, time_mask=None):
         h = Conv2dT(self.features, self.kernel_size, self.strides, self.padding,
-                    dtype=self.dtype, param_dtype=self.param_dtype, name="convLayer")(x)
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    precision=self.precision, name="convLayer")(x)
         h = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
                          name="norm")(h, time_mask)
         return swish(h)
@@ -63,6 +65,7 @@ class Discriminator(nn.Module):
     include_dead_params: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, time_mask=None):
@@ -71,7 +74,8 @@ class Discriminator(nn.Module):
         h = x[..., None].astype(self.dtype or x.dtype)  # (B, M, T, 1)
 
         h = Conv2dT(R // 2, (3, 3), (1, 1), (1, 1), dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="convLayer1")(h)
+                    param_dtype=self.param_dtype, precision=self.precision,
+                    name="convLayer1")(h)
         h = swish(h)
 
         def shrink(tm):
@@ -81,13 +85,16 @@ class Discriminator(nn.Module):
         tm = time_mask
         tm = shrink(tm)
         h = DownsampleD(R, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="downSample1")(h, tm)
+                        param_dtype=self.param_dtype, precision=self.precision,
+                        name="downSample1")(h, tm)
         tm = shrink(tm)
         h = DownsampleD(2 * R, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="downSample2")(h, tm)
+                        param_dtype=self.param_dtype, precision=self.precision,
+                        name="downSample2")(h, tm)
         tm = shrink(tm)
         h = DownsampleD(4 * R, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
-                        param_dtype=self.param_dtype, name="downSample3")(h, tm)
+                        param_dtype=self.param_dtype, precision=self.precision,
+                        name="downSample3")(h, tm)
 
         if self.include_dead_params:
             # Dead ``downSample4`` parameters (reference model.py:316-320):
@@ -104,7 +111,8 @@ class Discriminator(nn.Module):
                        (4 * R,), self.param_dtype)
 
         h = Conv2dT(1, (1, 3), (1, 1), (0, 1), dtype=self.dtype,
-                    param_dtype=self.param_dtype, name="outputConvLayer")(h)
+                    param_dtype=self.param_dtype, precision=self.precision,
+                    name="outputConvLayer")(h)
         out = jax.nn.sigmoid(h.astype(jnp.float32))[..., 0]  # (B, M/8, ceil(T/8))
         if tm is not None:
             out = out * tm[:, 0, :, 0][:, None, :]

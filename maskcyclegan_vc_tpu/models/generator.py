@@ -69,11 +69,12 @@ class ResidualBlock(nn.Module):
     hidden: int
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, time_mask=None):
         kw = dict(kernel_size=3, strides=1, padding=1, dtype=self.dtype,
-                  param_dtype=self.param_dtype)
+                  param_dtype=self.param_dtype, precision=self.precision)
         h = Conv1dT(self.hidden, name="conv1d_layer", **kw)(x)
         h = InstanceNorm(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype,
                          name="conv1d_layer_norm")(h, time_mask)
@@ -95,6 +96,7 @@ class Generator(nn.Module):
     num_residual_blocks: int = 6
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, mask, lengths=None):
@@ -142,7 +144,8 @@ class Generator(nn.Module):
         else:
             h = jnp.stack([x * mask, mask], axis=-1).astype(cdt)
 
-        conv_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        conv_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                       precision=self.precision)
 
         # Input true-GLU conv pair (model.py:116-126,242).
         a = Conv2dT(R // 2, (5, 15), (1, 1), (2, 7), name="conv1", **conv_kw)(h)
@@ -168,7 +171,8 @@ class Generator(nn.Module):
 
         for i in range(self.num_residual_blocks):
             h = ResidualBlock(R, 2 * R, name=f"residualLayer{i + 1}",
-                              dtype=self.dtype, param_dtype=self.param_dtype)(h, tm2_1d)
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              precision=self.precision)(h, tm2_1d)
 
         h = Conv1dT(flat, 1, 1, 0, name="conv1dto2dLayer", **conv_kw)(h)
         h = InstanceNorm(flat, dtype=self.dtype, param_dtype=self.param_dtype,

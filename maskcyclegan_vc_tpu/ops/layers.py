@@ -70,6 +70,7 @@ class Conv2dT(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -87,6 +88,7 @@ class Conv2dT(nn.Module):
             bias_init=make_torch_bias_init(fan_in),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            precision=self.precision,
             name="conv",
         )(x)
 
@@ -101,6 +103,7 @@ class Conv1dT(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -116,6 +119,7 @@ class Conv1dT(nn.Module):
             bias_init=make_torch_bias_init(fan_in),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            precision=self.precision,
             name="conv",
         )(x)
 
@@ -186,6 +190,7 @@ class GatedConv2d(nn.Module):
     padding: Tuple[int, int]
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, time_mask=None):
@@ -196,6 +201,7 @@ class GatedConv2d(nn.Module):
             padding=self.padding,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            precision=self.precision,
         )
         h = Conv2dT(name="convLayer", **kw)(x)
         h = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
