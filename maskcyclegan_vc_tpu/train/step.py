@@ -1,0 +1,173 @@
+"""The fused two-sided CycleGAN training step.
+
+One jitted function implements the reference's full per-iteration loss
+graph (train.py:195-299): generator update (6 G forwards + 4 D forwards,
+LSGAN-on-sigmoid targets, cycle L1 x10, identity L1 x5 with scheduled
+cutoff, two-step adversarial terms) followed by the discriminator update
+computed with the *updated* generator params (matching reference
+ordering). Unlike the reference, generator outputs feeding the D step
+are stop-gradient'd (its non-detached D step wastes compute without
+changing final weights — SURVEY Appendix A.2; we implement the
+equivalent-but-efficient form).
+
+On TPU the whole step is a single XLA computation: all conv FLOPs batch
+onto the MXU, the state is donated, and under a mesh the batch comes in
+shard-annotated so gradients all-reduce over ICI (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from maskcyclegan_vc_tpu.train.schedules import identity_lambda
+from maskcyclegan_vc_tpu.train.state import TrainConfig, TrainState, build_models, make_optimizers
+
+
+def _lsgan(pred, target: float):
+    return jnp.mean(jnp.square(target - pred.astype(jnp.float32)))
+
+
+def _l1(a, b):
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def make_train_step(cfg: TrainConfig):
+    """Build ``train_step(state, batch) -> (state, metrics)`` (pure, jittable).
+
+    batch: {"real_A": (B,M,T), "mask_A": (B,M,T), "real_B": ..., "mask_B": ...}
+    """
+    gen, disc = build_models(cfg)
+    sched = cfg.schedule
+
+    def g_loss_fn(g_params, d_params, batch, lam_id):
+        real_A, mask_A = batch["real_A"], batch["mask_A"]
+        real_B, mask_B = batch["real_B"], batch["mask_B"]
+        ones = jnp.ones_like(real_A)
+
+        # reference train.py:203-216
+        fake_B = gen.apply(g_params["A2B"], real_A, mask_A)
+        cycle_A = gen.apply(g_params["B2A"], fake_B, ones)
+        fake_A = gen.apply(g_params["B2A"], real_B, mask_B)
+        cycle_B = gen.apply(g_params["A2B"], fake_A, ones)
+
+        d_fake_A = disc.apply(d_params["A"], fake_A)
+        d_fake_B = disc.apply(d_params["B"], fake_B)
+        d_fake_cycle_A = disc.apply(d_params["A2"], cycle_A)
+        d_fake_cycle_B = disc.apply(d_params["B2"], cycle_B)
+
+        cycle_loss = _l1(real_A, cycle_A) + _l1(real_B, cycle_B)
+
+        # Identity forwards are skipped entirely once lambda hits zero
+        # (the reference keeps computing them — train.py:207-210 — which
+        # is pure waste after stop_identity_after).
+        def with_identity(_):
+            identity_A = gen.apply(g_params["B2A"], real_A, ones)
+            identity_B = gen.apply(g_params["A2B"], real_B, ones)
+            return _l1(real_A, identity_A) + _l1(real_B, identity_B)
+
+        identity_loss = jax.lax.cond(
+            lam_id > 0.0, with_identity, lambda _: jnp.float32(0.0), None
+        )
+
+        adv = (
+            _lsgan(d_fake_B, 1.0)
+            + _lsgan(d_fake_A, 1.0)
+            + _lsgan(d_fake_cycle_B, 1.0)
+            + _lsgan(d_fake_cycle_A, 1.0)
+        )
+        total = (
+            adv
+            + sched.cycle_loss_lambda * cycle_loss
+            + lam_id * identity_loss
+        )
+        aux = {
+            "g_adv_loss": adv,
+            "g_cycle_loss": cycle_loss,
+            "g_identity_loss": identity_loss,
+        }
+        return total, aux
+
+    def d_loss_fn(d_params, fakes, batch):
+        real_A, real_B = batch["real_A"], batch["real_B"]
+        # reference train.py:255-294
+        d_real_A = disc.apply(d_params["A"], real_A)
+        d_real_B = disc.apply(d_params["B"], real_B)
+        d_real_A2 = disc.apply(d_params["A2"], real_A)
+        d_real_B2 = disc.apply(d_params["B2"], real_B)
+        d_fake_A = disc.apply(d_params["A"], fakes["generated_A"])
+        d_fake_B = disc.apply(d_params["B"], fakes["generated_B"])
+        d_cycled_A = disc.apply(d_params["A2"], fakes["cycled_A"])
+        d_cycled_B = disc.apply(d_params["B2"], fakes["cycled_B"])
+
+        d_loss_A = (_lsgan(d_real_A, 1.0) + _lsgan(d_fake_A, 0.0)) / 2.0
+        d_loss_B = (_lsgan(d_real_B, 1.0) + _lsgan(d_fake_B, 0.0)) / 2.0
+        d_loss_A2 = (_lsgan(d_real_A2, 1.0) + _lsgan(d_cycled_A, 0.0)) / 2.0
+        d_loss_B2 = (_lsgan(d_real_B2, 1.0) + _lsgan(d_cycled_B, 0.0)) / 2.0
+        total = (d_loss_A + d_loss_B) / 2.0 + (d_loss_A2 + d_loss_B2) / 2.0
+        return total, {"d_loss_first": d_loss_A + d_loss_B,
+                       "d_loss_second": d_loss_A2 + d_loss_B2}
+
+    g_tx, d_tx = None, None  # built lazily against a concrete d_params tree
+
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        nonlocal g_tx, d_tx
+        if g_tx is None:
+            g_tx, d_tx = make_optimizers(cfg, jax.tree.map(lambda x: x, state.d_params))
+
+        lam_id = identity_lambda(sched, state.step)
+
+        # ---- Generator update ----
+        (g_loss, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, state.d_params, batch, lam_id
+        )
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
+
+        # ---- Discriminator update (with updated G, reference ordering) ----
+        real_A, mask_A = batch["real_A"], batch["mask_A"]
+        real_B, mask_B = batch["real_B"], batch["mask_B"]
+        generated_A = gen.apply(g_params["B2A"], real_B, mask_B)
+        cycled_B = gen.apply(g_params["A2B"], generated_A,
+                             jnp.ones_like(generated_A))
+        generated_B = gen.apply(g_params["A2B"], real_A, mask_A)
+        cycled_A = gen.apply(g_params["B2A"], generated_B,
+                             jnp.ones_like(generated_B))
+        fakes = jax.lax.stop_gradient({
+            "generated_A": generated_A,
+            "generated_B": generated_B,
+            "cycled_A": cycled_A,
+            "cycled_B": cycled_B,
+        })
+
+        (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params, fakes, batch
+        )
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
+
+        metrics = {
+            "g_loss": g_loss,
+            "d_loss": d_loss,
+            "identity_lambda": lam_id,
+            **g_aux,
+            **d_aux,
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_jit_train_step(cfg: TrainConfig):
+    """Single-device jitted step with state donation."""
+    return jax.jit(make_train_step(cfg), donate_argnums=(0,))
