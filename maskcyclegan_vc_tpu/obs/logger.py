@@ -1,0 +1,140 @@
+"""Training observability: TB scalars/images/audio, .log file, config snapshot.
+
+Mirrors the reference surface (logger/base_logger.py, train_logger.py:
+windowed loss averages printed every ``steps_per_print``, spectrogram
+figures, decoded audio clips, plaintext log, args JSON) with a
+multi-host-aware design: only host 0 writes, and metrics arrive as
+already-computed device scalars fetched asynchronously off the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def is_host_zero() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+class AverageMeter:
+    """Windowed scalar average (reference train_logger.py:28-73)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, value, n: int = 1):
+        self.sum += float(value) * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(1, self.count)
+
+
+class TrainLogger:
+    def __init__(
+        self,
+        save_dir: str,
+        name: str,
+        steps_per_print: int = 100,
+        config: Optional[dict] = None,
+        use_tensorboard: bool = True,
+    ):
+        self.active = is_host_zero()
+        self.steps_per_print = steps_per_print
+        self.meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
+        self.tb = None
+        self._t_iter = time.time()
+        if not self.active:
+            return
+        self.run_dir = os.path.join(save_dir, name)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.log_path = os.path.join(self.run_dir, f"{name}.log")
+        if config is not None:
+            with open(os.path.join(self.run_dir, "train_args.json"), "w") as f:
+                json.dump(config, f, indent=4, sort_keys=True, default=str)
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(
+                    log_dir=os.path.join(save_dir, "logs", f"{name}_{int(time.time())}")
+                )
+            except Exception:
+                self.tb = None
+
+    def write(self, msg: str, console: bool = True):
+        if not self.active:
+            return
+        if console:
+            print(msg, flush=True)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+
+    def log_iter(self, step: int, epoch: int, metrics: Dict[str, float],
+                 batch_size: int = 1):
+        """Accumulate; print + write every ``steps_per_print`` steps."""
+        if not self.active:
+            return
+        for k, v in metrics.items():
+            self.meters[k].update(float(v), batch_size)
+        if step % self.steps_per_print == 0 and step > 0:
+            dt = (time.time() - self._t_iter) / max(1, self.steps_per_print)
+            self._t_iter = time.time()
+            parts = [f"[epoch {epoch} step {step}]"] + [
+                f"{k}: {m.avg:.5f}" for k, m in sorted(self.meters.items())
+            ] + [f"({dt * 1e3:.1f} ms/it)"]
+            self.write(" ".join(parts))
+            if self.tb is not None:
+                for k, m in self.meters.items():
+                    self.tb.add_scalar(k.replace("_", "/", 1), m.avg, step)
+            for m in self.meters.values():
+                m.reset()
+
+    def log_audio(self, tag: str, audio: np.ndarray, step: int, sample_rate: int = 22050):
+        if self.active and self.tb is not None:
+            self.tb.add_audio(tag, np.asarray(audio).reshape(-1, 1), step, sample_rate)
+
+    def log_spectrogram(self, tag: str, mel: np.ndarray, step: int):
+        """Render a mel (M, T) to an image (reference utils.py:42-65)."""
+        if not self.active or self.tb is None:
+            return
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 3))
+            ax.imshow(np.asarray(mel), origin="lower", aspect="auto", cmap="magma")
+            ax.set_xlabel("frame")
+            ax.set_ylabel("mel bin")
+            fig.tight_layout()
+            buf = _io.BytesIO()
+            fig.savefig(buf, format="png", dpi=80)
+            plt.close(fig)
+            buf.seek(0)
+            import PIL.Image
+
+            img = np.asarray(PIL.Image.open(buf).convert("RGB"))
+            self.tb.add_image(tag, img, step, dataformats="HWC")
+        except Exception:
+            pass
+
+    def close(self):
+        if self.active and self.tb is not None:
+            self.tb.close()

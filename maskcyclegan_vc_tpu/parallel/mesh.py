@@ -1,0 +1,79 @@
+"""Device mesh + sharded training step (jax.sharding / GSPMD).
+
+The reference is single-process single-GPU (SURVEY §2.6); this layer is
+the from-scratch TPU-native scaling design:
+
+  * one ``Mesh`` over all chips with a ``data`` axis;
+  * parameters + optimizer state replicated, utterance batches sharded
+    over ``data``;
+  * the fused two-sided train step jitted with those shardings — XLA
+    GSPMD partitions the graph and inserts the gradient all-reduces
+    (the ``jax.lax.pmean`` of hand-written pmap code) over ICI/DCN;
+  * the per-sample sampler key is folded per-device inside jit, so the
+    global batch is seed-stable for any device count.
+
+At 24M params and this batch regime, data parallelism is the only
+sharding with signal (SURVEY §2.6 documents TP/PP/SP/EP as N/A); the
+mesh still carries a ``model`` axis of size 1 so model-parallel
+shardings can be introduced without re-plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from maskcyclegan_vc_tpu.train.state import TrainConfig
+from maskcyclegan_vc_tpu.train.step import make_train_step
+
+
+def make_mesh(devices: Optional[Sequence] = None, data_axis: Optional[int] = None) -> Mesh:
+    """Mesh over devices: ('data', 'model') with model=1 by default."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices) if data_axis is None else data_axis
+    dev_array = np.asarray(devices[:n]).reshape(n, 1)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    s = replicated_sharding(mesh)
+    return jax.device_put(tree, s)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch with its leading dim sharded over ``data``."""
+    s = batch_sharding(mesh)
+    return jax.device_put(batch, s)
+
+
+def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, donate: bool = True):
+    """Jitted train step with GSPMD shardings over ``mesh``.
+
+    State is replicated; batch arrives sharded on its leading dim. XLA
+    inserts the cross-device grad reduction because every loss term is a
+    global mean over the sharded batch dim.
+    """
+    step_fn = make_train_step(cfg)
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    batch_shardings = {k: bsh for k in ("real_A", "mask_A", "real_B", "mask_B")}
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_shardings),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

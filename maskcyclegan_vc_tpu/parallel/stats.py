@@ -1,0 +1,57 @@
+"""Collective per-speaker normalization statistics.
+
+The reference computes mean/std over all of a speaker's frames in one
+single-process numpy pass (preprocess_vcc2018.py:39-41). At pod scale
+each host holds a shard of the utterances; this computes the identical
+global stats with ``psum`` collectives over the mesh (SURVEY §2.6
+"collective normalization stats").
+
+Math: with per-shard sums S1 = sum(x), S2 = sum(x^2), N = frame count,
+    mean = psum(S1)/psum(N)
+    std  = sqrt(psum(S2)/psum(N) - mean^2) + 1e-9   (biased, ref parity)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+shard_map = jax.shard_map
+
+
+def collective_norm_stats(frames, frame_valid, mesh: Mesh):
+    """Global mel mean/std over a device-sharded frame bank.
+
+    Args:
+      frames: (N, M, T) utterances, sharded over ``data`` on dim 0.
+      frame_valid: (N, T) 1.0 where a frame is real (padding excluded),
+        sharded like ``frames``.
+      mesh: the device mesh.
+
+    Returns:
+      (mean, std): (M, 1) float32 replicated arrays, matching the
+      reference's concatenated-frames stats with its +1e-9 epsilon.
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(P(), P()),
+    )
+    def _stats(x, v):
+        v3 = v[:, None, :]  # (n, 1, T)
+        s1 = jnp.sum(x * v3, axis=(0, 2))          # (M,)
+        s2 = jnp.sum(jnp.square(x) * v3, axis=(0, 2))
+        n = jnp.sum(v)
+        s1 = jax.lax.psum(s1, "data")
+        s2 = jax.lax.psum(s2, "data")
+        n = jax.lax.psum(n, "data")
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+        std = jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-9
+        return mean[:, None], std[:, None]
+
+    return _stats(frames.astype(jnp.float32), frame_valid.astype(jnp.float32))

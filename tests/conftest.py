@@ -8,7 +8,7 @@ exercised by ``bench.py``, not the unit suite. Must run before jax import.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset axon/tpu
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +19,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 import jax  # noqa: E402
+
+# The image's sitecustomize registers the axon TPU plugin and pins
+# JAX_PLATFORMS=axon; the config update (not the env var) wins here.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA:CPU compiles are slow on small hosts;
 # cache them across test processes.

@@ -1,0 +1,109 @@
+"""Checkpoint save/load/rotate + reference .pth.tar ingestion."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskcyclegan_vc_tpu.io.checkpoint import (
+    checkpoint_path,
+    import_reference_checkpoints,
+    latest_epoch,
+    load_checkpoint,
+    rotate_checkpoints,
+    save_checkpoint,
+)
+from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
+from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+
+
+def tiny_cfg():
+    return TrainConfig(
+        schedule=ScheduleConfig(num_epochs=2, n_samples=4, batch_size=2,
+                                decay_after=4, stop_identity_after=4),
+        n_mels=8, num_frames=8, residual_channels=8,
+    )
+
+
+def test_roundtrip(tmp_path):
+    state = create_train_state(tiny_cfg(), seed=0)
+    p = checkpoint_path(str(tmp_path), 7)
+    save_checkpoint(p, state)
+    assert latest_epoch(str(tmp_path)) == 7
+
+    other = create_train_state(tiny_cfg(), seed=9)
+    restored = load_checkpoint(p, other)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_atomic_no_partial(tmp_path):
+    state = create_train_state(tiny_cfg(), seed=0)
+    p = checkpoint_path(str(tmp_path), 1)
+    save_checkpoint(p, state)
+    assert not os.path.exists(p + ".tmp")
+
+
+def test_shape_mismatch_rejected(tmp_path):
+    state = create_train_state(tiny_cfg(), seed=0)
+    p = checkpoint_path(str(tmp_path), 1)
+    save_checkpoint(p, state)
+    bigger = create_train_state(
+        TrainConfig(schedule=tiny_cfg().schedule, n_mels=8, num_frames=8,
+                    residual_channels=16), seed=0)
+    with pytest.raises((ValueError, KeyError)):
+        load_checkpoint(p, bigger)
+
+
+def test_rotation(tmp_path):
+    state = create_train_state(tiny_cfg(), seed=0)
+    for e in (1, 2, 3, 4):
+        save_checkpoint(checkpoint_path(str(tmp_path), e), state)
+    rotate_checkpoints(str(tmp_path), max_ckpts=2)
+    assert latest_epoch(str(tmp_path)) == 4
+    names = sorted(os.listdir(tmp_path))
+    assert names == ["00003_state.npz", "00004_state.npz"]
+
+
+def test_import_reference_checkpoints(tmp_path):
+    """Full-size: write reference-format .pth.tar files from seeded torch
+    models, ingest, and check a leaf matches."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, "/root/reference")
+    from mask_cyclegan_vc.model import Discriminator as RefD
+    from mask_cyclegan_vc.model import Generator as RefG
+
+    torch.manual_seed(3)
+    models = {
+        "generator_A2B": RefG(),
+        "generator_B2A": RefG(),
+        "discriminator_A": RefD(),
+        "discriminator_B": RefD(),
+        "discriminator_A2": RefD(),
+        "discriminator_B2": RefD(),
+    }
+    epoch = 500
+    for name, m in models.items():
+        torch.save(
+            {"ckpt_info": {"epoch": epoch}, "model_state": m.state_dict()},
+            os.path.join(tmp_path, f"{epoch:05d}_{name}.pth.tar"),
+        )
+
+    cfg = TrainConfig(schedule=ScheduleConfig())  # full-size
+    state = create_train_state(cfg, seed=0)
+    state, e = import_reference_checkpoints(str(tmp_path), epoch, state)
+    assert e == epoch
+
+    w_ref = models["generator_A2B"].state_dict()["conv1.weight"].numpy()
+    w_ours = np.asarray(
+        state.g_params["A2B"]["params"]["conv1"]["conv"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    np.testing.assert_array_equal(w_ref, w_ours)
+    w_dead = models["discriminator_B2"].state_dict()["downSample4.0.weight"].numpy()
+    d_ours = np.asarray(
+        state.d_params["B2"]["params"]["downSample4_conv_kernel"]
+    ).transpose(3, 2, 0, 1)
+    np.testing.assert_array_equal(w_dead, d_ours)

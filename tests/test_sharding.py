@@ -1,0 +1,121 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh.
+
+Validates the data-parallel design without a pod (SURVEY §4 implication:
+fake-mesh path). Key invariant: the sharded step computes exactly what
+the single-device step computes on the same global batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maskcyclegan_vc_tpu.parallel.mesh import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+)
+from maskcyclegan_vc_tpu.parallel.stats import collective_norm_stats
+from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
+from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+from maskcyclegan_vc_tpu.train.step import make_jit_train_step
+
+
+def tiny_cfg(batch_size=8):
+    return TrainConfig(
+        schedule=ScheduleConfig(num_epochs=2, n_samples=16, batch_size=batch_size,
+                                decay_after=8, stop_identity_after=1000),
+        n_mels=8,
+        num_frames=8,
+        residual_channels=8,
+    )
+
+
+def tiny_batch(seed, b=8, m=8, t=8):
+    rs = np.random.RandomState(seed)
+    return {
+        "real_A": jnp.asarray(rs.randn(b, m, t), jnp.float32),
+        "mask_A": jnp.ones((b, m, t), jnp.float32),
+        "real_B": jnp.asarray(rs.randn(b, m, t), jnp.float32),
+        "mask_B": jnp.ones((b, m, t), jnp.float32),
+    }
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_matches_single_device():
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+
+    state_s = replicate(create_train_state(cfg, seed=0), mesh)
+    step_s = make_sharded_train_step(cfg, mesh, donate=False)
+    batch = tiny_batch(0)
+    state_s1, metrics_s = step_s(state_s, shard_batch(batch, mesh))
+
+    state_1 = create_train_state(cfg, seed=0)
+    step_1 = jax.jit(
+        __import__("maskcyclegan_vc_tpu.train.step", fromlist=["make_train_step"])
+        .make_train_step(cfg)
+    )
+    state_11, metrics_1 = step_1(state_1, batch)
+
+    np.testing.assert_allclose(
+        float(metrics_s["g_loss"]), float(metrics_1["g_loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        float(metrics_s["d_loss"]), float(metrics_1["d_loss"]), rtol=2e-4
+    )
+    # Updated params agree across the two paths.
+    for a, b in zip(jax.tree.leaves(state_s1.g_params), jax.tree.leaves(state_11.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_sharded_step_multiple_steps_stable():
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    state = replicate(create_train_state(cfg, seed=1), mesh)
+    step = make_sharded_train_step(cfg, mesh)
+    for i in range(3):
+        state, metrics = step(state, shard_batch(tiny_batch(i), mesh))
+        assert np.isfinite(float(metrics["g_loss"]))
+    assert int(state.step) == 3
+
+
+def test_collective_norm_stats_match_numpy():
+    mesh = make_mesh()
+    rs = np.random.RandomState(0)
+    n, m, t = 16, 8, 32
+    frames = rs.randn(n, m, t).astype(np.float32)
+    lengths = rs.randint(5, t + 1, size=n)
+    valid = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
+
+    mean, std = collective_norm_stats(
+        jnp.asarray(frames), jnp.asarray(valid), mesh
+    )
+
+    # numpy oracle: concatenated valid frames (reference preprocess:39-41)
+    cat = np.concatenate([frames[i, :, : lengths[i]] for i in range(n)], axis=1)
+    np.testing.assert_allclose(np.asarray(mean)[:, 0], cat.mean(axis=1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(std)[:, 0], cat.std(axis=1) + 1e-9, atol=1e-5)
+
+
+def test_graft_entry_single_chip():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 80, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_graft_entry_dryrun():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
