@@ -1,0 +1,111 @@
+"""Benchmark: audio-seconds/s/chip at the full training step.
+
+Runs the fused two-sided CycleGAN train step (2 generators + 4
+discriminators, G and D updates) at BASELINE config 2 — batch 32,
+128-frame crops — on the default (TPU) platform and reports throughput
+in seconds-of-audio processed per wall-second per chip.
+
+One crop covers frames*hop/sr = 128*256/22050 = 1.486 s of audio, so a
+step processes 47.55 audio-seconds.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so
+the ratio is against REALTIME (1.0 = training consumes audio as fast as
+it plays) — the natural absolute yardstick for speech pipelines.
+
+Usage: python bench.py [--batch 32] [--frames 128] [--steps 20]
+                       [--dtype bfloat16] [--json-only]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--frames", type=int, default=128)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--platform", type=str, default=None,
+                   help="override platform (e.g. cpu for smoke)")
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
+    from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+    from maskcyclegan_vc_tpu.train.step import make_jit_train_step
+
+    hop, sr = 256, 22050
+    audio_seconds_per_step = args.batch * args.frames * hop / sr
+
+    cfg = TrainConfig(
+        schedule=ScheduleConfig(
+            num_epochs=1000, n_samples=81, batch_size=args.batch,
+            decay_after=200_000, stop_identity_after=10_000,
+        ),
+        num_frames=args.frames,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+    )
+    state = create_train_state(cfg, seed=0)
+    step = make_jit_train_step(cfg)
+
+    rs = np.random.RandomState(0)
+    def make_batch(i):
+        b = {
+            "real_A": jnp.asarray(rs.randn(args.batch, 80, args.frames), jnp.float32),
+            "mask_A": jnp.ones((args.batch, 80, args.frames), jnp.float32),
+            "real_B": jnp.asarray(rs.randn(args.batch, 80, args.frames), jnp.float32),
+            "mask_B": jnp.ones((args.batch, 80, args.frames), jnp.float32),
+        }
+        return b
+
+    batches = [make_batch(i) for i in range(2)]
+
+    for i in range(args.warmup):
+        state, metrics = step(state, batches[i % 2])
+    float(metrics["g_loss"])  # value fetch: block_until_ready is unreliable
+    # on the tunneled axon platform, but a scalar fetch forces the chain.
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % 2])
+    final = float(metrics["g_loss"])  # forces all chained steps
+    dt = (time.perf_counter() - t0) / args.steps
+    assert np.isfinite(final)
+
+    value = audio_seconds_per_step / dt
+    result = {
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value, 2),  # baseline = realtime (see docstring)
+        "step_time_ms": round(dt * 1e3, 2),
+        "batch": args.batch,
+        "frames": args.frames,
+        "dtype": args.dtype,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

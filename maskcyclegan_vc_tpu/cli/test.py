@@ -1,0 +1,135 @@
+"""Inference CLI: convert a speaker's utterances and write wavs.
+
+Reference contract (/root/reference/mask_cyclegan_vc/test.py): loads one
+generator at --load_epoch, converts every source utterance full-length
+with a ones mask, denormalizes with the **target** speaker's stats
+(test.py:94-95 — the vocal-tract transplant), writes
+``{i}-converted_{A}_to_{B}.wav`` and ``{i}-original_...wav``.
+
+Checkpoints: ours (``NNNNN_state.npz``) or a directory of reference
+``.pth.tar`` files (auto-detected). Without --vocoder_ckpt the converted
+mels are saved as ``.npy`` instead of decoded audio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskcyclegan_vc_tpu.data.dataset import load_speaker
+from maskcyclegan_vc_tpu.models import Generator
+
+
+def load_generator_params(ckpt_dir: str, load_epoch: int, model_name: str,
+                          n_mels: int = 80, residual_channels: int = 256):
+    """Load generator params from our npz or reference pth.tar layout."""
+    ours = os.path.join(ckpt_dir, f"{load_epoch:05d}_state.npz")
+    if os.path.exists(ours):
+        from maskcyclegan_vc_tpu.io.checkpoint import load_checkpoint
+        from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+
+        state = load_checkpoint(
+            ours,
+            create_train_state(
+                TrainConfig(n_mels=n_mels, residual_channels=residual_channels),
+                seed=0))
+        key = {"generator_A2B": "A2B", "generator_B2A": "B2A"}[model_name]
+        return state.g_params[key]
+    ref = os.path.join(ckpt_dir, f"{load_epoch:05d}_{model_name}.pth.tar")
+    if os.path.exists(ref):
+        from maskcyclegan_vc_tpu.io.torch_import import (
+            generator_params_from_torch,
+            load_pth_tar,
+        )
+
+        sd, _ = load_pth_tar(ref)
+        return jax.tree.map(jnp.asarray, generator_params_from_torch(sd))
+    raise FileNotFoundError(f"no checkpoint for epoch {load_epoch} in {ckpt_dir}")
+
+
+def convert_utterance(gen: Generator, params, mel: np.ndarray) -> np.ndarray:
+    """Full-length conversion with ones mask, bucketed to T%64==0."""
+    t = mel.shape[1]
+    bucket = ((t + 63) // 64) * 64
+    x = np.zeros((1, mel.shape[0], bucket), np.float32)
+    x[0, :, :t] = mel
+    y = gen.apply(params, jnp.asarray(x), jnp.ones((1, mel.shape[0], bucket)),
+                  lengths=jnp.asarray([t]))
+    return np.asarray(y)[0, :, :t]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--name", type=str, default="mask_cyclegan_vc")
+    p.add_argument("--save_dir", type=str, default="results")
+    p.add_argument("--preprocessed_data_dir", type=str, required=True)
+    p.add_argument("--speaker_A_id", type=str, default="VCC2SF3")
+    p.add_argument("--speaker_B_id", type=str, default="VCC2TF1")
+    p.add_argument("--ckpt_dir", type=str, required=True)
+    p.add_argument("--load_epoch", type=int, required=True)
+    p.add_argument("--model_name", type=str, default="generator_A2B",
+                   choices=["generator_A2B", "generator_B2A"])
+    p.add_argument("--vocoder_ckpt", type=str, default=None)
+    p.add_argument("--sample_rate", type=int, default=22050)
+    p.add_argument("--n_mels", type=int, default=80)
+    p.add_argument("--residual_channels", type=int, default=256)
+    args = p.parse_args(argv)
+
+    # A2B converts A's utterances using B's stats for decode (test.py:41-54,94-98).
+    if args.model_name == "generator_A2B":
+        src_id, tgt_id = args.speaker_A_id, args.speaker_B_id
+    else:
+        src_id, tgt_id = args.speaker_B_id, args.speaker_A_id
+    src_mels, src_mean, src_std = load_speaker(args.preprocessed_data_dir, src_id)
+    _, tgt_mean, tgt_std = load_speaker(args.preprocessed_data_dir, tgt_id)
+
+    gen = Generator(n_mels=args.n_mels, residual_channels=args.residual_channels)
+    params = load_generator_params(args.ckpt_dir, args.load_epoch, args.model_name,
+                                   args.n_mels, args.residual_channels)
+
+    vocoder = None
+    if args.vocoder_ckpt:
+        import torch
+
+        from maskcyclegan_vc_tpu.models.melgan import (
+            MelGANGenerator,
+            melgan_params_from_torch,
+        )
+
+        sd = torch.load(args.vocoder_ckpt, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        vocoder = (MelGANGenerator(),
+                   jax.tree.map(jnp.asarray, melgan_params_from_torch(sd)))
+
+    out_dir = os.path.join(args.save_dir, args.name,
+                           f"converted_audio_{args.load_epoch}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    for i, mel in enumerate(src_mels):
+        fake = convert_utterance(gen, params, mel)
+        stem_c = f"{i}-converted_{src_id}_to_{tgt_id}"
+        stem_o = f"{i}-original_{src_id}_to_{tgt_id}"
+        if vocoder is None:
+            np.save(os.path.join(out_dir, stem_c + ".npy"), fake)
+            np.save(os.path.join(out_dir, stem_o + ".npy"), mel)
+        else:
+            from maskcyclegan_vc_tpu.data.audio_io import write_wav
+            from maskcyclegan_vc_tpu.models.melgan import decode_mel
+
+            vg, vp = vocoder
+            wav_c = np.asarray(decode_mel(vg, vp, jnp.asarray(fake)[None],
+                                          jnp.asarray(tgt_mean), jnp.asarray(tgt_std)))[0]
+            wav_o = np.asarray(decode_mel(vg, vp, jnp.asarray(mel)[None],
+                                          jnp.asarray(src_mean), jnp.asarray(src_std)))[0]
+            write_wav(os.path.join(out_dir, stem_c + ".wav"), wav_c, args.sample_rate)
+            write_wav(os.path.join(out_dir, stem_o + ".wav"), wav_o, args.sample_rate)
+    print(f"wrote {len(src_mels)} conversions to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

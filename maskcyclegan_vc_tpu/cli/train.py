@@ -1,0 +1,75 @@
+"""Train CLI. Flag names mirror the reference parsers (SURVEY §5.6).
+
+    python -m maskcyclegan_vc_tpu.cli.train \
+        --name mask_cyclegan_vc_VCC2SF3_VCC2TF1 \
+        --seed 0 --save_dir results/ \
+        --preprocessed_data_dir vcc2018_preprocessed/vcc2018_training \
+        --speaker_A_id VCC2SF3 --speaker_B_id VCC2TF1 \
+        --num_epochs 6172 --batch_size 1 --num_frames 64 --max_mask_len 25 \
+        --decay_after 200000 --epochs_per_save 100 --epochs_per_plot 10
+
+TPU-specific additions: --dtype bfloat16 (MXU compute), --ref_compat_lr
+(reproduce the reference's LR-decay bug for matched-dynamics runs),
+--vocoder_ckpt (torch melgan weights for in-loop audio logging).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+from maskcyclegan_vc_tpu.train.trainer import Trainer, TrainerArgs
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    d = TrainerArgs()
+    p.add_argument("--name", type=str, default=d.name)
+    p.add_argument("--save_dir", type=str, default=d.save_dir)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--speaker_A_id", type=str, default=d.speaker_A_id)
+    p.add_argument("--speaker_B_id", type=str, default=d.speaker_B_id)
+    p.add_argument("--preprocessed_data_dir", type=str,
+                   default=d.preprocessed_data_dir)
+    p.add_argument("--num_epochs", type=int, default=d.num_epochs)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--num_frames", type=int, default=d.num_frames)
+    p.add_argument("--max_mask_len", type=int, default=d.max_mask_len)
+    p.add_argument("--generator_lr", type=float, default=d.generator_lr)
+    p.add_argument("--discriminator_lr", type=float, default=d.discriminator_lr)
+    p.add_argument("--decay_after", type=float, default=d.decay_after)
+    p.add_argument("--stop_identity_after", type=float,
+                   default=d.stop_identity_after)
+    p.add_argument("--cycle_loss_lambda", type=float, default=d.cycle_loss_lambda)
+    p.add_argument("--identity_loss_lambda", type=float,
+                   default=d.identity_loss_lambda)
+    p.add_argument("--epochs_per_save", type=int, default=d.epochs_per_save)
+    p.add_argument("--epochs_per_plot", type=int, default=d.epochs_per_plot)
+    p.add_argument("--steps_per_print", type=int, default=d.steps_per_print)
+    p.add_argument("--max_ckpts", type=int, default=d.max_ckpts)
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--ref_compat_lr", action="store_true")
+    p.add_argument("--n_mels", type=int, default=d.n_mels)
+    p.add_argument("--residual_channels", type=int, default=d.residual_channels)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=d.dtype)
+    p.add_argument("--precision", type=str, default=None)
+    p.add_argument("--sample_rate", type=int, default=d.sample_rate)
+    p.add_argument("--vocoder_ckpt", type=str, default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    np.random.seed(args.seed)
+    targs = TrainerArgs(**{
+        f.name: getattr(args, f.name) for f in dataclasses.fields(TrainerArgs)
+    })
+    targs.decay_after = int(targs.decay_after)
+    targs.stop_identity_after = int(targs.stop_identity_after)
+    Trainer(targs).train()
+
+
+if __name__ == "__main__":
+    main()

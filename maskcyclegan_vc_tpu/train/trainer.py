@@ -1,0 +1,236 @@
+"""Training orchestration: data -> sharded step -> logging -> checkpoints.
+
+The jitted step (train/step.py) is the hot loop; everything here stays
+off it: batches are sampled on device from a folded key, metrics are
+fetched asynchronously, checkpoints/plots run on host 0 at epoch
+cadence. Mirrors the reference's training surface
+(/root/reference/mask_cyclegan_vc/train.py:175-375) with a pure-resume
+contract (state + step live in one checkpoint; schedules are functions
+of step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskcyclegan_vc_tpu.data.dataset import MelBank, load_speaker, sample_batch
+from maskcyclegan_vc_tpu.io.checkpoint import (
+    checkpoint_path,
+    latest_epoch,
+    load_checkpoint,
+    rotate_checkpoints,
+    save_checkpoint,
+)
+from maskcyclegan_vc_tpu.obs.logger import TrainLogger
+from maskcyclegan_vc_tpu.parallel.mesh import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+)
+from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
+from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+
+
+@dataclasses.dataclass
+class TrainerArgs:
+    """Run-level knobs (flag names follow the reference parsers)."""
+
+    name: str = "mask_cyclegan_vc"
+    save_dir: str = "results"
+    seed: int = 0
+    speaker_A_id: str = "VCC2SF3"
+    speaker_B_id: str = "VCC2TF1"
+    preprocessed_data_dir: str = "vcc2018_preprocessed/vcc2018_training"
+    num_epochs: int = 6172
+    batch_size: int = 1
+    num_frames: int = 64
+    max_mask_len: int = 25
+    generator_lr: float = 2e-4
+    discriminator_lr: float = 1e-4
+    decay_after: int = 200_000
+    stop_identity_after: int = 10_000
+    cycle_loss_lambda: float = 10.0
+    identity_loss_lambda: float = 5.0
+    epochs_per_save: int = 100
+    epochs_per_plot: int = 10
+    steps_per_print: int = 100
+    max_ckpts: int = 0  # 0 = keep all
+    continue_train: bool = False
+    ref_compat_lr: bool = False
+    n_mels: int = 80
+    residual_channels: int = 256
+    dtype: str = "float32"  # or "bfloat16"
+    precision: Optional[str] = None
+    sample_rate: int = 22050
+    vocoder_ckpt: Optional[str] = None  # torch melgan state_dict for audio logs
+
+
+class Trainer:
+    def __init__(self, args: TrainerArgs):
+        self.args = args
+        a = args
+
+        self.mels_A, self.mean_A, self.std_A = load_speaker(
+            a.preprocessed_data_dir, a.speaker_A_id)
+        self.mels_B, self.mean_B, self.std_B = load_speaker(
+            a.preprocessed_data_dir, a.speaker_B_id)
+        self.bank_A = MelBank.from_list(self.mels_A, min_frames=a.num_frames)
+        self.bank_B = MelBank.from_list(self.mels_B, min_frames=a.num_frames)
+        n_samples = min(len(self.bank_A), len(self.bank_B))
+
+        sched = ScheduleConfig(
+            generator_lr=a.generator_lr,
+            discriminator_lr=a.discriminator_lr,
+            decay_after=a.decay_after,
+            stop_identity_after=a.stop_identity_after,
+            num_epochs=a.num_epochs,
+            n_samples=n_samples,
+            batch_size=a.batch_size,
+            identity_loss_lambda=a.identity_loss_lambda,
+            cycle_loss_lambda=a.cycle_loss_lambda,
+            ref_compat_lr=a.ref_compat_lr,
+        )
+        self.cfg = TrainConfig(
+            schedule=sched,
+            n_mels=a.n_mels,
+            num_frames=a.num_frames,
+            residual_channels=a.residual_channels,
+            dtype=jnp.bfloat16 if a.dtype == "bfloat16" else None,
+            precision=a.precision,
+        )
+
+        self.mesh = make_mesh()
+        self.n_devices = self.mesh.devices.size
+        if a.batch_size % max(1, self.n_devices) != 0 and a.batch_size > self.n_devices:
+            raise ValueError(
+                f"batch_size {a.batch_size} not divisible by {self.n_devices} devices")
+
+        self.state = create_train_state(self.cfg, seed=a.seed)
+        self.start_epoch = 1
+        self.ckpt_dir = os.path.join(a.save_dir, a.name, "ckpts")
+        if a.continue_train:
+            last = latest_epoch(self.ckpt_dir)
+            if last is not None:
+                self.state = load_checkpoint(
+                    checkpoint_path(self.ckpt_dir, last), self.state)
+                self.start_epoch = last + 1
+
+        # Small batches can't shard across more devices than samples;
+        # fall back to single-device jit in that case (the reference's
+        # canonical config is batch_size=1).
+        if a.batch_size >= self.n_devices and a.batch_size % self.n_devices == 0:
+            self.state = replicate(self.state, self.mesh)
+            self.step_fn = make_sharded_train_step(self.cfg, self.mesh)
+            self._shard = lambda b: shard_batch(b, self.mesh)
+        else:
+            from maskcyclegan_vc_tpu.train.step import make_jit_train_step
+
+            self.step_fn = make_jit_train_step(self.cfg)
+            self._shard = lambda b: b
+
+        self.logger = TrainLogger(
+            a.save_dir, a.name, steps_per_print=a.steps_per_print,
+            config=dataclasses.asdict(a))
+        self.base_key = jax.random.PRNGKey(a.seed)
+        self.steps_per_epoch = sched.steps_per_epoch
+
+        self._vocoder = None
+        if a.vocoder_ckpt:
+            self._vocoder = self._load_vocoder(a.vocoder_ckpt)
+
+    def _load_vocoder(self, path):
+        import torch
+
+        from maskcyclegan_vc_tpu.models.melgan import (
+            MelGANGenerator,
+            melgan_params_from_torch,
+        )
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        gen = MelGANGenerator()
+        params = jax.tree.map(jnp.asarray, melgan_params_from_torch(sd))
+        return gen, params
+
+    def train(self):
+        a = self.args
+        step = int(jax.device_get(self.state.step))
+        for epoch in range(self.start_epoch, a.num_epochs + 1):
+            t0 = time.time()
+            for _ in range(self.steps_per_epoch):
+                key = jax.random.fold_in(self.base_key, step)
+                batch = sample_batch(
+                    key, self.bank_A, self.bank_B, a.batch_size,
+                    a.num_frames, a.max_mask_len)
+                batch = self._shard(batch)
+                self.state, metrics = self.step_fn(self.state, batch)
+                step += 1
+                self.logger.log_iter(
+                    step, epoch,
+                    {k: metrics[k] for k in ("g_loss", "d_loss")},
+                    batch_size=a.batch_size)
+
+            if epoch % a.epochs_per_plot == 0:
+                self._plot(epoch)
+            if epoch % a.epochs_per_save == 0:
+                self._save(epoch)
+            self.logger.write(
+                f"epoch {epoch} done in {time.time() - t0:.1f}s", console=False)
+        self.logger.close()
+
+    def _save(self, epoch: int):
+        if jax.process_index() != 0:
+            return
+        save_checkpoint(checkpoint_path(self.ckpt_dir, epoch),
+                        jax.device_get(self.state))
+        if self.args.max_ckpts > 0:
+            rotate_checkpoints(self.ckpt_dir, self.args.max_ckpts)
+
+    def _convert(self, mel: np.ndarray, direction: str):
+        """Full-utterance conversion (ones mask) with bucketed jit."""
+        from maskcyclegan_vc_tpu.train.state import build_models
+
+        gen, _ = build_models(self.cfg)
+        t = mel.shape[1]
+        bucket = ((t + 63) // 64) * 64
+        x = np.zeros((1, mel.shape[0], bucket), np.float32)
+        x[0, :, :t] = mel
+        params = self.state.g_params[direction]
+        y = gen.apply(params, jnp.asarray(x), jnp.ones_like(jnp.asarray(x)),
+                      lengths=jnp.asarray([t]))
+        return np.asarray(y)[0, :, :t]
+
+    def _plot(self, epoch: int):
+        if jax.process_index() != 0:
+            return
+        real_A = self.mels_A[0]
+        real_B = self.mels_B[0]
+        fake_B = self._convert(real_A, "A2B")
+        fake_A = self._convert(real_B, "B2A")
+        self.logger.log_spectrogram("real_A_spec", real_A, epoch)
+        self.logger.log_spectrogram("fake_B_spec", fake_B, epoch)
+        self.logger.log_spectrogram("real_B_spec", real_B, epoch)
+        self.logger.log_spectrogram("fake_A_spec", fake_A, epoch)
+        if self._vocoder is not None:
+            gen, params = self._vocoder
+            from maskcyclegan_vc_tpu.models.melgan import decode_mel
+
+            for tag, mel, mean, std in (
+                ("real_A_audio", real_A, self.mean_A, self.std_A),
+                ("fake_B_audio", fake_B, self.mean_B, self.std_B),
+                ("real_B_audio", real_B, self.mean_B, self.std_B),
+                ("fake_A_audio", fake_A, self.mean_A, self.std_A),
+            ):
+                wav = np.asarray(decode_mel(
+                    gen, params, jnp.asarray(mel)[None],
+                    jnp.asarray(mean), jnp.asarray(std)))[0]
+                self.logger.log_audio(tag, wav, epoch, self.args.sample_rate)
