@@ -71,11 +71,16 @@ def _melspec_kernel(audio_hbm, wc_ref, ws_ref, mel_ref, out_ref, span_ref, sem):
     im = jnp.zeros((FRAMES_PER_TILE, _N_BINS), jnp.float32)
     for j in range(_ROWS_PER_FRAME):
         block = span_ref[pl.ds(j, FRAMES_PER_TILE), :]  # (128, 256)
-        re = re + jnp.dot(block, wc_ref[j], preferred_element_type=jnp.float32)
-        im = im + jnp.dot(block, ws_ref[j], preferred_element_type=jnp.float32)
+        # HIGHEST: true-f32 MXU passes — bf16-rounded inputs cost ~1e-2 in
+        # log space near the clamp, breaking frontend parity.
+        re = re + jnp.dot(block, wc_ref[j], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        im = im + jnp.dot(block, ws_ref[j], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     mag = jnp.sqrt(re * re + im * im + 1e-24)
-    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(mag, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = jnp.log(jnp.maximum(mel, 1e-5)) * np.float32(1.0 / np.log(10.0))
 
 
