@@ -162,15 +162,21 @@ class InstanceNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
         axes = tuple(range(1, x.ndim - 1))
         if time_mask is None:
-            x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axis=axes, keepdims=True)
-            var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+            # f32-accumulating reductions on the (possibly bf16) input —
+            # no materialized f32 copy of the activation.
+            mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+            var = jnp.mean(
+                jnp.square(x.astype(jnp.float32) - mean),
+                axis=axes, keepdims=True,
+            )
         else:
             mean, var = _masked_moments(x, time_mask, axes)
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        inv = jax.lax.rsqrt(var + self.eps)
+        # Fold affine into one multiply-add: y = x*(inv*scale) + (bias - mean*inv*scale)
+        a = inv * scale.astype(jnp.float32)
+        b = bias.astype(jnp.float32) - mean * a
         out_dtype = self.dtype or x.dtype
-        y = y.astype(out_dtype)
+        y = (x.astype(jnp.float32) * a + b).astype(out_dtype)
         if time_mask is not None:
             y = y * time_mask.astype(out_dtype)
         return y
