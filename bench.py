@@ -32,6 +32,7 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
+    p.add_argument("--fused_norms", type=int, default=1)
     p.add_argument("--platform", type=str, default=None,
                    help="override platform (e.g. cpu for smoke)")
     args = p.parse_args()
@@ -64,6 +65,7 @@ def main():
         ),
         num_frames=args.frames,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+        fused_norms=bool(args.fused_norms),
     )
     state = create_train_state(cfg, seed=0)
     step = make_jit_train_step(cfg)

@@ -26,6 +26,7 @@ from flax import linen as nn
 from maskcyclegan_vc_tpu.ops.layers import (
     Conv2dT,
     InstanceNorm,
+    fused_in_swish,
     make_torch_bias_init,
     swish,
     torch_conv_kernel_init,
@@ -44,15 +45,19 @@ class DownsampleD(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, time_mask=None):
         h = Conv2dT(self.features, self.kernel_size, self.strides, self.padding,
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     precision=self.precision, name="convLayer")(x)
-        h = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="norm")(h, time_mask)
-        return swish(h)
+        norm = InstanceNorm(self.features, dtype=self.dtype,
+                            param_dtype=self.param_dtype, name="norm")
+        if self.fused_norms and time_mask is None:
+            s_, b_ = norm.affine()
+            return fused_in_swish(h, s_, b_).astype(self.dtype or h.dtype)
+        return swish(norm(h, time_mask))
 
 
 class Discriminator(nn.Module):
@@ -66,6 +71,7 @@ class Discriminator(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, time_mask=None):
@@ -86,15 +92,15 @@ class Discriminator(nn.Module):
         tm = shrink(tm)
         h = DownsampleD(R, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, precision=self.precision,
-                        name="downSample1")(h, tm)
+                        fused_norms=self.fused_norms, name="downSample1")(h, tm)
         tm = shrink(tm)
         h = DownsampleD(2 * R, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, precision=self.precision,
-                        name="downSample2")(h, tm)
+                        fused_norms=self.fused_norms, name="downSample2")(h, tm)
         tm = shrink(tm)
         h = DownsampleD(4 * R, (3, 3), (2, 2), (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, precision=self.precision,
-                        name="downSample3")(h, tm)
+                        fused_norms=self.fused_norms, name="downSample3")(h, tm)
 
         if self.include_dead_params:
             # Dead ``downSample4`` parameters (reference model.py:316-320):

@@ -40,6 +40,8 @@ from maskcyclegan_vc_tpu.ops.layers import (
     Conv2dT,
     GatedConv2d,
     InstanceNorm,
+    fused_in_glu,
+    fused_in_swish,
     pixel_shuffle_nhwc,
     swish,
 )
@@ -70,20 +72,29 @@ class ResidualBlock(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, time_mask=None):
         kw = dict(kernel_size=3, strides=1, padding=1, dtype=self.dtype,
                   param_dtype=self.param_dtype, precision=self.precision)
         h = Conv1dT(self.hidden, name="conv1d_layer", **kw)(x)
-        h = InstanceNorm(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="conv1d_layer_norm")(h, time_mask)
         g = Conv1dT(self.hidden, name="conv_layer_gates", **kw)(x)
-        g = InstanceNorm(self.hidden, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="conv_layer_gates_norm")(g, time_mask)
-        hg = h * jax.nn.sigmoid(g)
+        norm_h = InstanceNorm(self.hidden, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="conv1d_layer_norm")
+        norm_g = InstanceNorm(self.hidden, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="conv_layer_gates_norm")
+        if self.fused_norms and time_mask is None:
+            sh, bh = norm_h.affine()
+            sg, bg = norm_g.affine()
+            hg = fused_in_glu(h, g, sh, bh, sg, bg).astype(h.dtype)
+        else:
+            hg = norm_h(h, time_mask) * jax.nn.sigmoid(norm_g(g, time_mask))
         out = Conv1dT(self.features, name="conv1d_out_layer", **kw)(hg)
         out = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
+                           fused=self.fused_norms,
                            name="conv1d_out_layer_norm")(out, time_mask)
         return x + out
 
@@ -97,6 +108,7 @@ class Generator(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
+    fused_norms: bool = False
 
     @nn.compact
     def __call__(self, x, mask, lengths=None):
@@ -155,8 +167,10 @@ class Generator(nn.Module):
             h = h * tm0.astype(h.dtype)
 
         # Gated downsampling (model.py:129-139,245-246).
-        h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample1", **conv_kw)(h, tm1)
-        h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample2", **conv_kw)(h, tm2)
+        h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample1",
+                        fused=self.fused_norms, **conv_kw)(h, tm1)
+        h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample2",
+                        fused=self.fused_norms, **conv_kw)(h, tm2)
 
         # 2D -> 1D, channel-major flatten matching torch
         # ``view(B, C*H, W)`` (model.py:249-251): new channel = c*H + h.
@@ -167,15 +181,18 @@ class Generator(nn.Module):
 
         h = Conv1dT(R, 1, 1, 0, name="conv2dto1dLayer", **conv_kw)(h)
         h = InstanceNorm(R, dtype=self.dtype, param_dtype=self.param_dtype,
+                         fused=self.fused_norms,
                          name="conv2dto1dLayer_tfan")(h, tm2_1d)
 
         for i in range(self.num_residual_blocks):
             h = ResidualBlock(R, 2 * R, name=f"residualLayer{i + 1}",
                               dtype=self.dtype, param_dtype=self.param_dtype,
-                              precision=self.precision)(h, tm2_1d)
+                              precision=self.precision,
+                              fused_norms=self.fused_norms)(h, tm2_1d)
 
         h = Conv1dT(flat, 1, 1, 0, name="conv1dto2dLayer", **conv_kw)(h)
         h = InstanceNorm(flat, dtype=self.dtype, param_dtype=self.param_dtype,
+                         fused=self.fused_norms,
                          name="conv1dto2dLayer_tfan")(h, tm2_1d)
 
         # 1D -> 2D inverse reshape (model.py:270-271: view(B, R, M/4, -1)).
@@ -184,15 +201,23 @@ class Generator(nn.Module):
         # Upsampling: conv -> pixel shuffle -> IN -> swish (model.py:226-237).
         h = Conv2dT(4 * R, (5, 5), (1, 1), (2, 2), name="upSample1_conv", **conv_kw)(h)
         h = pixel_shuffle_nhwc(h, 2)
-        h = InstanceNorm(R, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="upSample1_norm")(h, tm_up1)
-        h = swish(h)
+        up1_norm = InstanceNorm(R, dtype=self.dtype, param_dtype=self.param_dtype,
+                                name="upSample1_norm")
+        if self.fused_norms and tm_up1 is None:
+            su, bu = up1_norm.affine()
+            h = fused_in_swish(h, su, bu).astype(h.dtype)
+        else:
+            h = swish(up1_norm(h, tm_up1))
 
         h = Conv2dT(2 * R, (5, 5), (1, 1), (2, 2), name="upSample2_conv", **conv_kw)(h)
         h = pixel_shuffle_nhwc(h, 2)
-        h = InstanceNorm(R // 2, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="upSample2_norm")(h, tm_up2)
-        h = swish(h)
+        up2_norm = InstanceNorm(R // 2, dtype=self.dtype, param_dtype=self.param_dtype,
+                                name="upSample2_norm")
+        if self.fused_norms and tm_up2 is None:
+            su, bu = up2_norm.affine()
+            h = fused_in_swish(h, su, bu).astype(h.dtype)
+        else:
+            h = swish(up2_norm(h, tm_up2))
 
         out = Conv2dT(1, (5, 15), (1, 1), (2, 7), name="lastConvLayer", **conv_kw)(h)
         out = out[..., 0]  # (B, M, T)

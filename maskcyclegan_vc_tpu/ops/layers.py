@@ -124,6 +124,46 @@ class Conv1dT(nn.Module):
         )(x)
 
 
+def _fused_interpret():
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+def fused_in(x, scale, bias):
+    """Pallas fused affine IN on an NHWC/NLC tensor."""
+    from maskcyclegan_vc_tpu.ops.pallas.in_gate_kernel import instance_norm_fused
+
+    B, C = x.shape[0], x.shape[-1]
+    y = instance_norm_fused(x.reshape(B, -1, C), scale, bias, _fused_interpret())
+    return y.reshape(x.shape)
+
+
+def fused_in_swish(x, scale, bias):
+    """Pallas fused swish(IN(x)) on an NHWC/NLC tensor."""
+    from maskcyclegan_vc_tpu.ops.pallas.in_gate_kernel import (
+        instance_norm_swish_fused,
+    )
+
+    B, C = x.shape[0], x.shape[-1]
+    y = instance_norm_swish_fused(x.reshape(B, -1, C), scale, bias,
+                                  _fused_interpret())
+    return y.reshape(x.shape)
+
+
+def fused_in_glu(h, g, scale_h, bias_h, scale_g, bias_g):
+    """Pallas fused IN(h)*sigmoid(IN(g)) on NHWC/NLC tensors."""
+    from maskcyclegan_vc_tpu.ops.pallas.in_gate_kernel import (
+        instance_norm_glu_fused,
+    )
+
+    B, C = h.shape[0], h.shape[-1]
+    y = instance_norm_glu_fused(
+        h.reshape(B, -1, C), g.reshape(B, -1, C),
+        scale_h, bias_h, scale_g, bias_g, _fused_interpret())
+    return y.reshape(h.shape)
+
+
 def _masked_moments(x, time_mask, axes):
     """Mean/var over `axes` counting only positions where time_mask == 1.
 
@@ -155,11 +195,22 @@ class InstanceNorm(nn.Module):
     eps: float = 1e-5
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    fused: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+
+    def affine(self):
+        """Expose (scale, bias) for externally-fused epilogues."""
+        return self.scale, self.bias
+
     def __call__(self, x, time_mask=None):
-        scale = self.param("scale", nn.initializers.ones, (self.features,), self.param_dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        scale, bias = self.scale, self.bias
+        if self.fused and time_mask is None:
+            return fused_in(x, scale, bias).astype(self.dtype or x.dtype)
         axes = tuple(range(1, x.ndim - 1))
         if time_mask is None:
             # f32-accumulating reductions on the (possibly bf16) input —
@@ -197,6 +248,7 @@ class GatedConv2d(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, time_mask=None):
@@ -210,11 +262,19 @@ class GatedConv2d(nn.Module):
             precision=self.precision,
         )
         h = Conv2dT(name="convLayer", **kw)(x)
-        h = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="convLayer_norm")(h, time_mask)
         g = Conv2dT(name="convLayer_gates", **kw)(x)
-        g = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="convLayer_gates_norm")(g, time_mask)
+        norm_h = InstanceNorm(self.features, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="convLayer_norm")
+        norm_g = InstanceNorm(self.features, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name="convLayer_gates_norm")
+        if self.fused and time_mask is None:
+            sh, bh = norm_h.affine()
+            sg, bg = norm_g.affine()
+            return fused_in_glu(h, g, sh, bh, sg, bg).astype(
+                self.dtype or h.dtype)
+        h = norm_h(h, time_mask)
+        g = norm_g(g, time_mask)
         return h * jax.nn.sigmoid(g)
 
 

@@ -39,6 +39,7 @@ class TrainConfig:
     include_dead_params: bool = True
     dtype: Any = None  # compute dtype, e.g. jnp.bfloat16 for TPU perf
     precision: Optional[str] = None  # conv precision ("highest" for parity)
+    fused_norms: bool = False  # Pallas fused IN(+gate) epilogues
 
 
 class TrainState(struct.PyTreeNode):
@@ -88,12 +89,14 @@ def build_models(cfg: TrainConfig):
         residual_channels=cfg.residual_channels,
         dtype=cfg.dtype,
         precision=cfg.precision,
+        fused_norms=cfg.fused_norms,
     )
     disc = Discriminator(
         residual_channels=cfg.residual_channels,
         include_dead_params=cfg.include_dead_params,
         dtype=cfg.dtype,
         precision=cfg.precision,
+        fused_norms=cfg.fused_norms,
     )
     return gen, disc
 
