@@ -40,6 +40,7 @@ class TrainConfig:
     dtype: Any = None  # compute dtype, e.g. jnp.bfloat16 for TPU perf
     precision: Optional[str] = None  # conv precision ("highest" for parity)
     fused_norms: bool = False  # Pallas fused IN(+gate) epilogues
+    remat: bool = False  # rematerialize generator forwards in the G step
 
 
 class TrainState(struct.PyTreeNode):

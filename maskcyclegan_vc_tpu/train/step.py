@@ -43,16 +43,22 @@ def make_train_step(cfg: TrainConfig):
     gen, disc = build_models(cfg)
     sched = cfg.schedule
 
+    gen_apply = gen.apply
+    if cfg.remat:
+        # Trade FLOPs for backward-residual HBM traffic: recompute each
+        # generator forward during the backward pass.
+        gen_apply = jax.checkpoint(lambda p, x, m: gen.apply(p, x, m))
+
     def g_loss_fn(g_params, d_params, batch, lam_id):
         real_A, mask_A = batch["real_A"], batch["mask_A"]
         real_B, mask_B = batch["real_B"], batch["mask_B"]
         ones = jnp.ones_like(real_A)
 
         # reference train.py:203-216
-        fake_B = gen.apply(g_params["A2B"], real_A, mask_A)
-        cycle_A = gen.apply(g_params["B2A"], fake_B, ones)
-        fake_A = gen.apply(g_params["B2A"], real_B, mask_B)
-        cycle_B = gen.apply(g_params["A2B"], fake_A, ones)
+        fake_B = gen_apply(g_params["A2B"], real_A, mask_A)
+        cycle_A = gen_apply(g_params["B2A"], fake_B, ones)
+        fake_A = gen_apply(g_params["B2A"], real_B, mask_B)
+        cycle_B = gen_apply(g_params["A2B"], fake_A, ones)
 
         d_fake_A = disc.apply(d_params["A"], fake_A)
         d_fake_B = disc.apply(d_params["B"], fake_B)
@@ -65,8 +71,8 @@ def make_train_step(cfg: TrainConfig):
         # (the reference keeps computing them — train.py:207-210 — which
         # is pure waste after stop_identity_after).
         def with_identity(_):
-            identity_A = gen.apply(g_params["B2A"], real_A, ones)
-            identity_B = gen.apply(g_params["A2B"], real_B, ones)
+            identity_A = gen_apply(g_params["B2A"], real_A, ones)
+            identity_B = gen_apply(g_params["A2B"], real_B, ones)
             return _l1(real_A, identity_A) + _l1(real_B, identity_B)
 
         identity_loss = jax.lax.cond(
