@@ -106,8 +106,19 @@ class TrainLogger:
                 m.reset()
 
     def log_audio(self, tag: str, audio: np.ndarray, step: int, sample_rate: int = 22050):
-        if self.active and self.tb is not None:
-            self.tb.add_audio(tag, np.asarray(audio).reshape(-1, 1), step, sample_rate)
+        if not self.active:
+            return
+        try:
+            if self.tb is not None:
+                self.tb.add_audio(tag, np.asarray(audio).reshape(-1, 1), step,
+                                  sample_rate)
+        except Exception:
+            # tensorboardX audio needs soundfile, which may be absent;
+            # fall back to dropping a wav next to the log.
+            from maskcyclegan_vc_tpu.data.audio_io import write_wav
+
+            path = os.path.join(self.run_dir, f"{tag}_{step}.wav")
+            write_wav(path, np.asarray(audio), sample_rate)
 
     def log_spectrogram(self, tag: str, mel: np.ndarray, step: int):
         """Render a mel (M, T) to an image (reference utils.py:42-65)."""
