@@ -1,0 +1,119 @@
+"""Capture a jax.profiler trace of the train step and summarize top device ops.
+
+Parses the perfetto trace.json.gz written by jax.profiler (no TF needed)
+and prints the top-k ops by total device time, so kernel work can be
+targeted where the milliseconds actually are.
+
+Usage: python benchmarks/profile_step.py [--batch 32] [--frames 128] [--top 40]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def summarize(trace_dir, top):
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not paths:
+        print("no trace.json.gz found under", trace_dir)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    # Find device-side process ids (TPU/device tracks).
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {
+        pid for pid, name in pid_names.items()
+        if "TPU" in name or "Device" in name or "/device:" in name
+    }
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    wall = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        dur = e.get("dur", 0)
+        name = e.get("name", "?")
+        tot[name] += dur
+        cnt[name] += 1
+        wall += dur
+    print(f"trace: {path}")
+    print(f"total device-op time: {wall/1e3:.2f} ms across {sum(cnt.values())} events")
+    print(f"{'us_total':>12} {'count':>6} {'us_avg':>10}  name")
+    for name, us in tot.most_common(top):
+        print(f"{us:>12.0f} {cnt[name]:>6} {us/cnt[name]:>10.1f}  {name[:120]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--frames", type=int, default=128)
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--top", type=int, default=40)
+    p.add_argument("--fused_norms", type=int, default=1)
+    p.add_argument("--trace_dir", default="/tmp/jax_trace_step")
+    p.add_argument("--summarize_only", action="store_true")
+    args = p.parse_args()
+
+    if args.summarize_only:
+        summarize(args.trace_dir, args.top)
+        return
+
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
+    from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+    from maskcyclegan_vc_tpu.train.step import make_jit_train_step
+
+    cfg = TrainConfig(
+        schedule=ScheduleConfig(
+            num_epochs=1000, n_samples=81, batch_size=args.batch,
+            decay_after=200_000, stop_identity_after=10_000,
+        ),
+        num_frames=args.frames,
+        dtype=jnp.bfloat16,
+        fused_norms=bool(args.fused_norms),
+    )
+    state = create_train_state(cfg, seed=0)
+    step = make_jit_train_step(cfg)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "real_A": jnp.asarray(rs.randn(args.batch, 80, args.frames), jnp.float32),
+        "mask_A": jnp.ones((args.batch, 80, args.frames), jnp.float32),
+        "real_B": jnp.asarray(rs.randn(args.batch, 80, args.frames), jnp.float32),
+        "mask_B": jnp.ones((args.batch, 80, args.frames), jnp.float32),
+    }
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    float(metrics["g_loss"])
+
+    with jax.profiler.trace(args.trace_dir):
+        for _ in range(args.steps):
+            state, metrics = step(state, batch)
+        float(metrics["g_loss"])
+
+    summarize(args.trace_dir, args.top)
+
+
+if __name__ == "__main__":
+    main()

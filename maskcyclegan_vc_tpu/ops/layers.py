@@ -28,6 +28,9 @@ from typing import Any, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax.linen import dtypes as flax_dtypes
+
+from maskcyclegan_vc_tpu.ops.tap_conv import tap_conv2d, use_tap_conv
 
 Dtype = Any
 
@@ -57,10 +60,35 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+class _ConvParams(nn.Module):
+    """Bare conv kernel/bias params matching ``nn.Conv``'s param tree."""
+
+    kshape: Tuple[int, int, int, int]  # (kh, kw, in_ch, out_ch) HWIO
+    fan_in: int
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_kernel_init, self.kshape,
+                            self.param_dtype)
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", make_torch_bias_init(self.fan_in),
+                              (self.kshape[-1],), self.param_dtype)
+        return kernel, bias
+
+
 class Conv2dT(nn.Module):
     """2D conv with torch semantics (symmetric explicit padding, torch init).
 
-    Input/output NHWC.
+    Input/output NHWC. Stride-1 convs with tiny channel counts (Cin<=4 or
+    Cout<=4 — the generator's conv1 pair/lastConvLayer and the
+    discriminator's convLayer1/outputConvLayer) lower through the
+    tap-matmul formulation (ops/tap_conv.py) instead of ``lax.conv``: a
+    1-2 lane conv runs the 128-wide MXU at ~1% utilization in forward
+    AND both gradients, costing ~2.5 ms each on v5e at batch 32x128.
+    The param tree is identical either way ({"conv": {kernel, bias}}).
     """
 
     features: int
@@ -77,6 +105,15 @@ class Conv2dT(nn.Module):
         kh, kw = self.kernel_size
         in_ch = x.shape[-1]
         fan_in = in_ch * kh * kw
+        if use_tap_conv(in_ch, self.features, self.strides):
+            kernel, bias = _ConvParams(
+                (kh, kw, in_ch, self.features), fan_in,
+                use_bias=self.use_bias, param_dtype=self.param_dtype,
+                name="conv")()
+            x, kernel, bias = flax_dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
+            return tap_conv2d(x, kernel, bias, self.padding,
+                              precision=self.precision)
         pad = [(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])]
         return nn.Conv(
             features=self.features,

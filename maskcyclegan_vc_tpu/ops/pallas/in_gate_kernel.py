@@ -36,39 +36,82 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-5
 
 
-def _stats(xf):
-    mean = jnp.mean(xf, axis=0, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=0, keepdims=True)
-    inv = jax.lax.rsqrt(var + EPS)
+def _chunk(S: int, C: int) -> int:
+    """Largest divisor of S whose f32 chunk (CH, C) stays under ~2 MB.
+
+    Keeps the kernels' scoped-VMEM footprint bounded by the bf16 slab
+    plus one small f32 chunk, instead of a full-slab f32 temp (which
+    OOMs scoped VMEM at the model's largest slab, (10240, 128)).
+    """
+    cap = max(1, (2 << 20) // (4 * C))
+    if S <= cap:
+        return S
+    for ch in range(cap, 0, -1):
+        if S % ch == 0:
+            return ch
+    return S
+
+
+def _stats(x_ref):
+    """Two-pass per-channel mean / rsqrt(var+eps) over a (1,S,C) block.
+
+    f32 accumulation in (chunk, C) pieces; two-pass variance (torch
+    InstanceNorm numerics, no E[x^2]-E[x]^2 cancellation).
+    """
+    S, C = x_ref.shape[1], x_ref.shape[2]
+    ch = _chunk(S, C)
+    n = S // ch
+    tot = jnp.zeros((1, C), jnp.float32)
+    for i in range(n):
+        tot = tot + jnp.sum(x_ref[0, i * ch:(i + 1) * ch, :].astype(jnp.float32),
+                            axis=0, keepdims=True)
+    mean = tot / S
+    sq = jnp.zeros((1, C), jnp.float32)
+    for i in range(n):
+        d = x_ref[0, i * ch:(i + 1) * ch, :].astype(jnp.float32) - mean
+        sq = sq + jnp.sum(d * d, axis=0, keepdims=True)
+    inv = jax.lax.rsqrt(sq / S + EPS)
     return mean, inv
 
 
 def _in_kernel(x_ref, s_ref, b_ref, y_ref):
-    xf = x_ref[0].astype(jnp.float32)
-    mean, inv = _stats(xf)
+    mean, inv = _stats(x_ref)
     a = inv * s_ref[0].astype(jnp.float32)
-    y = xf * a + (b_ref[0].astype(jnp.float32) - mean * a)
-    y_ref[0] = y.astype(y_ref.dtype)
+    b = b_ref[0].astype(jnp.float32) - mean * a
+    S, C = x_ref.shape[1], x_ref.shape[2]
+    ch = _chunk(S, C)
+    for i in range(S // ch):
+        sl = slice(i * ch, (i + 1) * ch)
+        y_ref[0, sl, :] = (x_ref[0, sl, :].astype(jnp.float32) * a
+                           + b).astype(y_ref.dtype)
 
 
 def _in_swish_kernel(x_ref, s_ref, b_ref, y_ref):
-    xf = x_ref[0].astype(jnp.float32)
-    mean, inv = _stats(xf)
+    mean, inv = _stats(x_ref)
     a = inv * s_ref[0].astype(jnp.float32)
-    z = xf * a + (b_ref[0].astype(jnp.float32) - mean * a)
-    y_ref[0] = (z * jax.nn.sigmoid(z)).astype(y_ref.dtype)
+    b = b_ref[0].astype(jnp.float32) - mean * a
+    S, C = x_ref.shape[1], x_ref.shape[2]
+    ch = _chunk(S, C)
+    for i in range(S // ch):
+        sl = slice(i * ch, (i + 1) * ch)
+        z = x_ref[0, sl, :].astype(jnp.float32) * a + b
+        y_ref[0, sl, :] = (z * jax.nn.sigmoid(z)).astype(y_ref.dtype)
 
 
 def _in_glu_kernel(h_ref, g_ref, sh_ref, bh_ref, sg_ref, bg_ref, y_ref):
-    hf = h_ref[0].astype(jnp.float32)
-    gf = g_ref[0].astype(jnp.float32)
-    mh, ih = _stats(hf)
-    mg, ig = _stats(gf)
+    mh, ih = _stats(h_ref)
+    mg, ig = _stats(g_ref)
     ah = ih * sh_ref[0].astype(jnp.float32)
     ag = ig * sg_ref[0].astype(jnp.float32)
-    yh = hf * ah + (bh_ref[0].astype(jnp.float32) - mh * ah)
-    yg = gf * ag + (bg_ref[0].astype(jnp.float32) - mg * ag)
-    y_ref[0] = (yh * jax.nn.sigmoid(yg)).astype(y_ref.dtype)
+    bh = bh_ref[0].astype(jnp.float32) - mh * ah
+    bg = bg_ref[0].astype(jnp.float32) - mg * ag
+    S, C = h_ref.shape[1], h_ref.shape[2]
+    ch = _chunk(S, C)
+    for i in range(S // ch):
+        sl = slice(i * ch, (i + 1) * ch)
+        yh = h_ref[0, sl, :].astype(jnp.float32) * ah + bh
+        yg = g_ref[0, sl, :].astype(jnp.float32) * ag + bg
+        y_ref[0, sl, :] = (yh * jax.nn.sigmoid(yg)).astype(y_ref.dtype)
 
 
 def _call_per_sample(kernel, out_dtype, tensors, vecs, interpret):
