@@ -40,6 +40,7 @@ from maskcyclegan_vc_tpu.ops.layers import (
     Conv2dT,
     GatedConv2d,
     InstanceNorm,
+    SubpixelConv2d,
     fused_in_glu,
     fused_in_swish,
     pixel_shuffle_nhwc,
@@ -199,24 +200,41 @@ class Generator(nn.Module):
         h = h.reshape(B, W2, R, H2).transpose(0, 3, 1, 2)  # (B, H2, W2, R)
 
         # Upsampling: conv -> pixel shuffle -> IN -> swish (model.py:226-237).
-        h = Conv2dT(4 * R, (5, 5), (1, 1), (2, 2), name="upSample1_conv", **conv_kw)(h)
-        h = pixel_shuffle_nhwc(h, 2)
+        # Fused path: the conv's output channels are weight-permuted to
+        # shuffle-major order and one Pallas kernel does shuffle+IN+swish
+        # with a single HBM write (ops/pallas/ps_kernel.py) — as XLA HLO
+        # the shuffle materializes 6D transpose copies in forward and in
+        # every backward pass.
         up1_norm = InstanceNorm(R, dtype=self.dtype, param_dtype=self.param_dtype,
                                 name="upSample1_norm")
         if self.fused_norms and tm_up1 is None:
+            from maskcyclegan_vc_tpu.ops.layers import _fused_interpret
+            from maskcyclegan_vc_tpu.ops.pallas.ps_kernel import subpixel_in_swish
+
+            h = SubpixelConv2d(4 * R, (5, 5), (2, 2), name="upSample1_conv",
+                               **conv_kw)(h)
             su, bu = up1_norm.affine()
-            h = fused_in_swish(h, su, bu).astype(h.dtype)
+            h = subpixel_in_swish(h, su, bu, _fused_interpret()).astype(cdt)
         else:
+            h = Conv2dT(4 * R, (5, 5), (1, 1), (2, 2), name="upSample1_conv",
+                        **conv_kw)(h)
+            h = pixel_shuffle_nhwc(h, 2)
             h = swish(up1_norm(h, tm_up1))
 
-        h = Conv2dT(2 * R, (5, 5), (1, 1), (2, 2), name="upSample2_conv", **conv_kw)(h)
-        h = pixel_shuffle_nhwc(h, 2)
         up2_norm = InstanceNorm(R // 2, dtype=self.dtype, param_dtype=self.param_dtype,
                                 name="upSample2_norm")
         if self.fused_norms and tm_up2 is None:
+            from maskcyclegan_vc_tpu.ops.layers import _fused_interpret
+            from maskcyclegan_vc_tpu.ops.pallas.ps_kernel import subpixel_in_swish
+
+            h = SubpixelConv2d(2 * R, (5, 5), (2, 2), name="upSample2_conv",
+                               **conv_kw)(h)
             su, bu = up2_norm.affine()
-            h = fused_in_swish(h, su, bu).astype(h.dtype)
+            h = subpixel_in_swish(h, su, bu, _fused_interpret()).astype(cdt)
         else:
+            h = Conv2dT(2 * R, (5, 5), (1, 1), (2, 2), name="upSample2_conv",
+                        **conv_kw)(h)
+            h = pixel_shuffle_nhwc(h, 2)
             h = swish(up2_norm(h, tm_up2))
 
         out = Conv2dT(1, (5, 15), (1, 1), (2, 7), name="lastConvLayer", **conv_kw)(h)

@@ -315,6 +315,53 @@ class GatedConv2d(nn.Module):
         return h * jax.nn.sigmoid(g)
 
 
+class SubpixelConv2d(nn.Module):
+    """Conv whose output channels are permuted to pixel-shuffle-major order.
+
+    Declares torch-ordered params (identical tree to ``Conv2dT``:
+    {"conv": {kernel, bias}}, PixelShuffle channel c*4 + (2i+j)) but
+    computes with the Cout axis permuted to ``(2i+j)*C + c`` so the
+    downstream fused shuffle kernel (ops/pallas/ps_kernel.py) reads each
+    sub-position as a contiguous lane slice. The permutation is a
+    weight-sized gather that XLA folds into the conv's weight prep.
+
+    Output: (B, H, W, 4C) q-major — feed to ``subpixel_in_swish``.
+    """
+
+    features: int  # conv output channels = 4*C
+    kernel_size: Tuple[int, int]
+    padding: Tuple[int, int]
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+    precision: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        fan_in = in_ch * kh * kw
+        kernel, bias = _ConvParams(
+            (kh, kw, in_ch, self.features), fan_in,
+            use_bias=self.use_bias, param_dtype=self.param_dtype,
+            name="conv")()
+        C = self.features // 4
+        k2 = kernel.reshape(kh, kw, in_ch, C, 4).transpose(
+            0, 1, 2, 4, 3).reshape(kh, kw, in_ch, self.features)
+        b2 = None
+        if bias is not None:
+            b2 = bias.reshape(C, 4).transpose(1, 0).reshape(self.features)
+        x, k2, b2 = flax_dtypes.promote_dtype(x, k2, b2, dtype=self.dtype)
+        ph, pw = self.padding
+        y = jax.lax.conv_general_dilated(
+            x, k2, window_strides=(1, 1),
+            padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision,
+        )
+        return y + b2 if b2 is not None else y
+
+
 def pixel_shuffle_nhwc(x, r: int = 2):
     """NHWC pixel shuffle matching torch ``nn.PixelShuffle(r)`` ordering.
 
