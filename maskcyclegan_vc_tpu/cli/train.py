@@ -57,11 +57,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", type=str, default=None)
     p.add_argument("--sample_rate", type=int, default=d.sample_rate)
     p.add_argument("--vocoder_ckpt", type=str, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="wire jax.distributed for multi-host pods "
+                        "(auto-discovers on TPU; see parallel/dist.py)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.distributed:
+        from maskcyclegan_vc_tpu.parallel.dist import initialize
+
+        initialize()
     np.random.seed(args.seed)
     targs = TrainerArgs(**{
         f.name: getattr(args, f.name) for f in dataclasses.fields(TrainerArgs)

@@ -49,15 +49,43 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated on the mesh."""
+    """Place a pytree fully replicated on the mesh.
+
+    Works single- and multi-process: with >1 process every host passes
+    its (identical) full value and the runtime assembles the global
+    replicated array without any cross-host transfer.
+    """
     s = replicated_sharding(mesh)
-    return jax.device_put(tree, s)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, s)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            s, np.asarray(x), np.shape(x)),
+        tree,
+    )
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with its leading dim sharded over ``data``."""
+    """Place a host batch with its leading dim sharded over ``data``.
+
+    Multi-process contract (SURVEY §7.3.6 determinism requirement): every
+    host samples the SAME seed-stable global batch (sampling is a pure
+    function of the folded step key), then contributes only the rows its
+    addressable devices own — ``jax.devices()`` orders devices by process,
+    so process ``i``'s rows are the ``i``-th contiguous block.
+    """
     s = batch_sharding(mesh)
-    return jax.device_put(batch, s)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, s)
+    n, i = jax.process_count(), jax.process_index()
+
+    def put(x):
+        x = np.asarray(x)
+        per = x.shape[0] // n
+        return jax.make_array_from_process_local_data(
+            s, x[i * per:(i + 1) * per], x.shape)
+
+    return jax.tree.map(put, batch)
 
 
 def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, donate: bool = True):

@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# Multi-host TPU pod launch for maskcyclegan_vc_tpu (SURVEY §5.8).
+#
+# One process per host, all local chips per process — the standard JAX
+# pod pattern. On Cloud TPU VMs jax.distributed auto-discovers the
+# coordinator, so the same command runs on every worker:
+#
+#   gcloud compute tpus tpu-vm ssh "$TPU_NAME" --worker=all --command \
+#     "cd $REPO_DIR && bash scripts/train_pod.sh --name my_run ..."
+#
+# For non-TPU fleets (or manual bring-up) export JAX_COORDINATOR_ADDRESS,
+# JAX_NUM_PROCESSES, and JAX_PROCESS_ID before invoking; parallel/dist.py
+# picks them up.
+#
+# All arguments are forwarded to the train CLI. The global batch is
+# seed-stable for any host count (each host samples the same global
+# batch from the folded step key and contributes only its own rows), so
+# scaling runs are apples-to-apples with single-host runs.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+exec python -m maskcyclegan_vc_tpu.cli.train --distributed "$@"

@@ -1,0 +1,79 @@
+"""Worker for the multi-process data-parallel test (run as a subprocess).
+
+Each process owns 4 virtual CPU devices; together they form the same
+8-device mesh the single-process tests use, so the two-process run must
+reproduce the single-process numbers exactly. Exercises the real
+multi-host code paths: jax.distributed.initialize, process-local
+replicate(), and per-process shard_batch() slicing.
+
+Usage: python _mp_worker.py <process_id> <num_processes> <port> <out.npz>
+"""
+
+import os
+import sys
+
+pid, nproc, port, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+
+import numpy as np  # noqa: E402
+
+from maskcyclegan_vc_tpu.parallel.mesh import (  # noqa: E402
+    make_mesh,
+    make_sharded_train_step,
+    replicate,
+    shard_batch,
+)
+from tests.test_sharding import tiny_batch, tiny_cfg  # noqa: E402
+
+assert len(jax.devices()) == 4 * nproc, jax.devices()
+assert len(jax.local_devices()) == 4
+
+cfg = tiny_cfg()
+mesh = make_mesh()
+from maskcyclegan_vc_tpu.train.state import create_train_state  # noqa: E402
+
+state = replicate(create_train_state(cfg, seed=0), mesh)
+step = make_sharded_train_step(cfg, mesh, donate=False)
+
+# AOT-compile before the first execution, then barrier: gloo's communicator
+# bring-up has a ~30s key-value timeout, and without the barrier the two
+# processes reach their first collective minutes apart (independent XLA
+# compiles of the same module).
+batches = [shard_batch(tiny_batch(i), mesh) for i in range(2)]
+step_c = step.lower(state, batches[0]).compile()
+from jax._src import distributed  # noqa: E402
+
+distributed.global_state.client.wait_at_barrier(
+    "mp_test_compile_done", timeout_in_ms=900_000)
+
+losses = []
+for b in batches:
+    state, metrics = step_c(state, b)
+    losses.append(float(metrics["g_loss"]))
+
+# Checksum on the host: launching a jnp reduction here would be an SPMD
+# collective over ALL processes, which would deadlock once the other
+# process exits. Fully-replicated global arrays materialize locally.
+leaves = jax.tree.leaves(state.g_params)
+checksum = np.array([float(np.square(np.asarray(x)).sum()) for x in leaves])
+if pid == 0:
+    np.savez(out_path, losses=np.array(losses), checksum=checksum)

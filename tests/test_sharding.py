@@ -68,9 +68,24 @@ def test_sharded_step_matches_single_device():
     np.testing.assert_allclose(
         float(metrics_s["d_loss"]), float(metrics_1["d_loss"]), rtol=2e-4
     )
-    # Updated params agree across the two paths.
+    # Gradients agree (linear oracle): after the first step Adam's stored
+    # first moment is (1-b1)*g, so comparing it compares the all-reduced
+    # gradient directly — tight, and sensitive to wrong pmean scaling,
+    # which post-Adam params are NOT (Adam is gradient-scale invariant).
+    # Reduction-order noise is absolute in the magnitude of the summed
+    # terms, so the tolerance scales with each leaf's dynamic range; a
+    # wrong pmean scale (x8 / /8) is still orders of magnitude outside it.
+    for a, b in zip(jax.tree.leaves(state_s1.g_opt[0].mu),
+                    jax.tree.leaves(state_11.g_opt[0].mu)):
+        b = np.asarray(b)
+        tol = 2e-3 * (np.abs(b).max() + 1e-2)
+        np.testing.assert_allclose(np.asarray(a), b, atol=tol)
+    # Updated params agree to the Adam sign-flip bound: with b1=.5/b2=.999
+    # the first update is ±lr per coordinate, and coordinates whose grad is
+    # at float-noise level can legitimately flip sign between the 8-shard
+    # and single-device reduction orders (|Δ| ≤ 2·lr_g = 4e-4).
     for a, b in zip(jax.tree.leaves(state_s1.g_params), jax.tree.leaves(state_11.g_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
 def test_sharded_step_multiple_steps_stable():
