@@ -12,8 +12,14 @@ step processes 47.55 audio-seconds.
 the ratio is against REALTIME (1.0 = training consumes audio as fast as
 it plays) — the natural absolute yardstick for speech pipelines.
 
+``--vocoder 1`` additionally decodes the converted mels to waveforms
+with the JAX MelGAN generator inside the measured loop (BASELINE
+config 5: train + vocoder decode in-loop, waveform eval on TPU) and
+reports the combined throughput under
+``metric=audio_seconds_per_second_per_chip_e2e``.
+
 Usage: python bench.py [--batch 32] [--frames 128] [--steps 20]
-                       [--dtype bfloat16] [--json-only]
+                       [--dtype bfloat16] [--vocoder 0|1]
 """
 
 import argparse
@@ -33,6 +39,9 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--fused_norms", type=int, default=1)
+    p.add_argument("--vocoder", type=int, default=0,
+                   help="1: decode converted mels with MelGAN in-loop "
+                        "(BASELINE config 5)")
     p.add_argument("--platform", type=str, default=None,
                    help="override platform (e.g. cpu for smoke)")
     args = p.parse_args()
@@ -70,6 +79,23 @@ def main():
     state = create_train_state(cfg, seed=0)
     step = make_jit_train_step(cfg)
 
+    decode = None
+    if args.vocoder:
+        from maskcyclegan_vc_tpu.models.melgan import MelGANGenerator
+        from maskcyclegan_vc_tpu.train.state import build_models
+        from maskcyclegan_vc_tpu.utils.init import fast_init
+
+        melgan = MelGANGenerator()
+        mel_params = fast_init(melgan, 0, jnp.zeros((1, 80, 8)))
+        gen, _ = build_models(cfg)
+
+        @jax.jit
+        def decode(g_params, batch):
+            # Convert A->B with the freshly-updated generator, then vocode —
+            # the in-loop waveform eval path (reference train.py:332-358).
+            fake_B = gen.apply(g_params["A2B"], batch["real_A"], batch["mask_A"])
+            return melgan.apply(mel_params, fake_B)
+
     rs = np.random.RandomState(0)
     def make_batch(i):
         b = {
@@ -84,19 +110,29 @@ def main():
 
     for i in range(args.warmup):
         state, metrics = step(state, batches[i % 2])
+        if decode is not None:
+            wav = decode(state.g_params, batches[i % 2])
     float(metrics["g_loss"])  # value fetch: block_until_ready is unreliable
     # on the tunneled axon platform, but a scalar fetch forces the chain.
+    if decode is not None:
+        float(wav[0, 0])
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, metrics = step(state, batches[i % 2])
+        if decode is not None:
+            wav = decode(state.g_params, batches[i % 2])
     final = float(metrics["g_loss"])  # forces all chained steps
+    if decode is not None:
+        assert np.isfinite(float(wav[0, 0]))
+        assert wav.shape == (args.batch, args.frames * hop)
     dt = (time.perf_counter() - t0) / args.steps
     assert np.isfinite(final)
 
     value = audio_seconds_per_step / dt
     result = {
-        "metric": "audio_seconds_per_second_per_chip",
+        "metric": "audio_seconds_per_second_per_chip"
+                  + ("_e2e" if decode is not None else ""),
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value, 2),  # baseline = realtime (see docstring)

@@ -77,6 +77,10 @@ def main(argv=None):
     p.add_argument("--sample_rate", type=int, default=22050)
     p.add_argument("--n_mels", type=int, default=80)
     p.add_argument("--residual_channels", type=int, default=256)
+    p.add_argument("--compute_mcd", action="store_true",
+                   help="report DTW-aligned MCD/MSD of each conversion vs "
+                        "the index-paired target utterance (VCC2018 eval "
+                        "sentences are parallel across speakers)")
     args = p.parse_args(argv)
 
     # A2B converts A's utterances using B's stats for decode (test.py:41-54,94-98).
@@ -85,7 +89,7 @@ def main(argv=None):
     else:
         src_id, tgt_id = args.speaker_B_id, args.speaker_A_id
     src_mels, src_mean, src_std = load_speaker(args.preprocessed_data_dir, src_id)
-    _, tgt_mean, tgt_std = load_speaker(args.preprocessed_data_dir, tgt_id)
+    tgt_mels, tgt_mean, tgt_std = load_speaker(args.preprocessed_data_dir, tgt_id)
 
     gen = Generator(n_mels=args.n_mels, residual_channels=args.residual_channels)
     params = load_generator_params(args.ckpt_dir, args.load_epoch, args.model_name,
@@ -110,8 +114,21 @@ def main(argv=None):
                            f"converted_audio_{args.load_epoch}")
     os.makedirs(out_dir, exist_ok=True)
 
+    mcds, msds = [], []
     for i, mel in enumerate(src_mels):
         fake = convert_utterance(gen, params, mel)
+        if args.compute_mcd and i < len(tgt_mels):
+            from maskcyclegan_vc_tpu.eval.metrics import (
+                mcd_dtw,
+                mel_spectral_distance,
+            )
+
+            # Compare in the vocoder's (denormalized log10-mel) scale.
+            fake_db = fake * tgt_std + tgt_mean
+            tgt_db = tgt_mels[i] * tgt_std + tgt_mean
+            m, path = mcd_dtw(fake_db, tgt_db)
+            mcds.append(m)
+            msds.append(mel_spectral_distance(fake_db, tgt_db, path))
         stem_c = f"{i}-converted_{src_id}_to_{tgt_id}"
         stem_o = f"{i}-original_{src_id}_to_{tgt_id}"
         if vocoder is None:
@@ -129,6 +146,9 @@ def main(argv=None):
             write_wav(os.path.join(out_dir, stem_c + ".wav"), wav_c, args.sample_rate)
             write_wav(os.path.join(out_dir, stem_o + ".wav"), wav_o, args.sample_rate)
     print(f"wrote {len(src_mels)} conversions to {out_dir}")
+    if mcds:
+        print(f"MCD {np.mean(mcds):.3f} dB (n={len(mcds)}), "
+              f"MSD {np.mean(msds):.3f}")
 
 
 if __name__ == "__main__":

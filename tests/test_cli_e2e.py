@@ -55,7 +55,7 @@ def test_preprocess_cli(corpus):
     assert 80 <= mels[0].shape[1] <= 90
 
 
-def test_train_and_convert_cli(corpus):
+def test_train_and_convert_cli(corpus, capsys):
     from maskcyclegan_vc_tpu.cli.train import main as train_main
     from maskcyclegan_vc_tpu.cli.test import main as test_main
 
@@ -91,11 +91,17 @@ def test_train_and_convert_cli(corpus):
         "--load_epoch", "2",
         "--model_name", "generator_A2B",
         "--residual_channels", "8",
+        "--compute_mcd",
     ])
     outs = glob.glob(os.path.join(save, "e2e", "converted_audio_2", "*-converted_*.npy"))
     assert len(outs) == 3
     mel = np.load(outs[0])
     assert mel.shape[0] == 80 and np.isfinite(mel).all()
+    # Objective eval: DTW-MCD vs the index-paired target utterances.
+    mcd_line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("MCD ")]
+    assert len(mcd_line) == 1 and "(n=3)" in mcd_line[0]
+    assert np.isfinite(float(mcd_line[0].split()[1]))
 
 
 def test_resume_continues(corpus):
