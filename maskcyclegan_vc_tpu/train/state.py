@@ -64,12 +64,14 @@ def _dead_param_mask(params):
     )
 
 
-def make_optimizers(cfg: TrainConfig, d_params):
+def make_optimizers(cfg: TrainConfig):
     """Two Adams with schedule-driven lrs (reference train.py:119-122).
 
     The discriminator optimizer masks out the dead ``downSample4`` params:
     their grads are identically zero so Adam would no-op on them anyway
     (m, v stay 0); masking only avoids carrying useless moment buffers.
+    The mask is passed as a *callable* so the transforms are structure-
+    independent — no concrete param tree is needed to construct them.
     """
     sched = cfg.schedule
 
@@ -80,7 +82,7 @@ def make_optimizers(cfg: TrainConfig, d_params):
         )
 
     g_tx = adam(generator_lr)
-    d_tx = optax.masked(adam(discriminator_lr), _dead_param_mask(d_params))
+    d_tx = optax.masked(adam(discriminator_lr), _dead_param_mask)
     return g_tx, d_tx
 
 
@@ -116,7 +118,7 @@ def create_train_state(cfg: TrainConfig, seed: int = 0) -> TrainState:
         "A2": fast_init(disc, seed + 4, x),
         "B2": fast_init(disc, seed + 5, x),
     }
-    g_tx, d_tx = make_optimizers(cfg, d_params)
+    g_tx, d_tx = make_optimizers(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,

@@ -117,13 +117,9 @@ def make_train_step(cfg: TrainConfig):
         return total, {"d_loss_first": d_loss_A + d_loss_B,
                        "d_loss_second": d_loss_A2 + d_loss_B2}
 
-    g_tx, d_tx = None, None  # built lazily against a concrete d_params tree
+    g_tx, d_tx = make_optimizers(cfg)
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
-        nonlocal g_tx, d_tx
-        if g_tx is None:
-            g_tx, d_tx = make_optimizers(cfg, jax.tree.map(lambda x: x, state.d_params))
-
         lam_id = identity_lambda(sched, state.step)
 
         # ---- Generator update ----
