@@ -8,9 +8,12 @@
         --num_epochs 6172 --batch_size 1 --num_frames 64 --max_mask_len 25 \
         --decay_after 200000 --epochs_per_save 100 --epochs_per_plot 10
 
-TPU-specific additions: --dtype bfloat16 (MXU compute), --ref_compat_lr
-(reproduce the reference's LR-decay bug for matched-dynamics runs),
---vocoder_ckpt (torch melgan weights for in-loop audio logging).
+TPU-specific additions: --dtype (auto = bfloat16 MXU compute on TPU),
+--fused_norms (auto = Pallas fused IN(+gate) epilogues on TPU), --remat,
+--ref_compat_lr (reproduce the reference's LR-decay bug for
+matched-dynamics runs), --vocoder_ckpt (torch melgan weights for in-loop
+audio logging). The defaults give the benchmarked fast path on TPU with
+no extra flags.
 """
 
 from __future__ import annotations
@@ -53,8 +56,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref_compat_lr", action="store_true")
     p.add_argument("--n_mels", type=int, default=d.n_mels)
     p.add_argument("--residual_channels", type=int, default=d.residual_channels)
-    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=d.dtype)
+    p.add_argument("--dtype", choices=["auto", "float32", "bfloat16"],
+                   default=d.dtype,
+                   help="compute dtype; auto = bfloat16 on TPU, float32 "
+                        "elsewhere")
     p.add_argument("--precision", type=str, default=None)
+    p.add_argument("--fused_norms", choices=["auto", "0", "1"],
+                   default=d.fused_norms,
+                   help="Pallas fused IN(+gate) epilogues; auto = on for TPU")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize generator forwards in the G step "
+                        "(trade FLOPs for HBM)")
     p.add_argument("--sample_rate", type=int, default=d.sample_rate)
     p.add_argument("--vocoder_ckpt", type=str, default=None)
     p.add_argument("--distributed", action="store_true",

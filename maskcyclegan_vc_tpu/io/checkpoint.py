@@ -1,11 +1,14 @@
 """Atomic pytree checkpointing.
 
 One checkpoint = one ``.npz`` holding every leaf of the TrainState
-(params of 2 G + 4 D, both optimizer states, step) plus the speaker
-normalization stats and the RNG key — the single-file atomic design
-SURVEY §5.4 prescribes (the reference splits state across 6 torch files
-with duplicated optimizer state, model_saver.py:66-79; resume only needs
-one coherent snapshot).
+(params of 2 G + 4 D, both optimizer states, step) plus optional
+``meta/``-prefixed extras — the trainer stores the RNG seed and both
+speakers' normalization stats there, making each file a self-contained
+snapshot (resume re-derives the sampler key from seed+step; the stats
+let conversion run without the preprocessed npz files). This is the
+single-file atomic design SURVEY §5.4 prescribes (the reference splits
+state across 6 torch files with duplicated optimizer state,
+model_saver.py:66-79; resume only needs one coherent snapshot).
 
 Atomicity: write to ``<path>.tmp`` then ``os.replace`` — a crashed run
 can never leave a half-written checkpoint under the final name. Multi-
@@ -37,14 +40,28 @@ def _flatten(tree) -> Dict[str, np.ndarray]:
     return out
 
 
-def save_checkpoint(path: str, tree: Any) -> None:
-    """Atomically write a pytree to ``path`` (.npz)."""
+def save_checkpoint(path: str, tree: Any,
+                    meta: Optional[Dict[str, Any]] = None) -> None:
+    """Atomically write a pytree to ``path`` (.npz).
+
+    ``meta`` entries are stored under ``meta/<name>`` keys, outside the
+    state tree — ``load_checkpoint`` ignores them; read them back with
+    ``load_checkpoint_meta``.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(tree)
+    for k, v in (meta or {}).items():
+        flat[f"meta/{k}"] = np.asarray(v)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **flat)
     os.replace(tmp, path)
+
+
+def load_checkpoint_meta(path: str) -> Dict[str, np.ndarray]:
+    """Return the ``meta/`` extras stored alongside the state tree."""
+    with np.load(path) as z:
+        return {k[len("meta/"):]: z[k] for k in z.files if k.startswith("meta/")}
 
 
 def load_checkpoint(path: str, like: Any) -> Any:

@@ -59,6 +59,7 @@ class TrainLogger:
         self.meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
         self.tb = None
         self._t_iter = time.time()
+        self._buffer = []  # (batch_size, {name: device scalar}) per step
         if not self.active:
             return
         self.run_dir = os.path.join(save_dir, name)
@@ -76,6 +77,8 @@ class TrainLogger:
                 )
             except Exception:
                 self.tb = None
+        if config is not None:
+            self.log_hparams(config)
 
     def write(self, msg: str, console: bool = True):
         if not self.active:
@@ -87,12 +90,22 @@ class TrainLogger:
 
     def log_iter(self, step: int, epoch: int, metrics: Dict[str, float],
                  batch_size: int = 1):
-        """Accumulate; print + write every ``steps_per_print`` steps."""
+        """Accumulate; print + write every ``steps_per_print`` steps.
+
+        Metric values may be device arrays: they are buffered as-is and
+        only converted to host floats at the print boundary, so the hot
+        loop never blocks on a device->host fetch (the reference syncs
+        implicitly every iteration via ``.item()``-style reads;
+        train_logger.py:121-150 sets the print cadence we match).
+        """
         if not self.active:
             return
-        for k, v in metrics.items():
-            self.meters[k].update(float(v), batch_size)
+        self._buffer.append((batch_size, metrics))
         if step % self.steps_per_print == 0 and step > 0:
+            for n, md in self._buffer:
+                for k, v in md.items():
+                    self.meters[k].update(float(v), n)
+            self._buffer.clear()
             dt = (time.time() - self._t_iter) / max(1, self.steps_per_print)
             self._t_iter = time.time()
             parts = [f"[epoch {epoch} step {step}]"] + [
@@ -120,10 +133,20 @@ class TrainLogger:
             path = os.path.join(self.run_dir, f"{tag}_{step}.wav")
             write_wav(path, np.asarray(audio), sample_rate)
 
-    def log_spectrogram(self, tag: str, mel: np.ndarray, step: int):
-        """Render a mel (M, T) to an image (reference utils.py:42-65)."""
+    def log_hparams(self, config: dict):
+        """Write every hyperparameter as TB text under ``hparams/<key>``
+        (reference train_logger.py:108-119)."""
         if not self.active or self.tb is None:
             return
+        for k in sorted(config):
+            try:
+                self.tb.add_text(f"hparams/{k}", str(config[k]), 0)
+            except Exception:
+                pass
+
+    @staticmethod
+    def _render_mel(mel: np.ndarray) -> Optional[np.ndarray]:
+        """Render a mel (M, T) to an RGB array (reference utils.py:42-65)."""
         try:
             import matplotlib
 
@@ -141,10 +164,40 @@ class TrainLogger:
             buf.seek(0)
             import PIL.Image
 
-            img = np.asarray(PIL.Image.open(buf).convert("RGB"))
-            self.tb.add_image(tag, img, step, dataformats="HWC")
+            return np.asarray(PIL.Image.open(buf).convert("RGB"))
         except Exception:
-            pass
+            return None
+
+    def log_spectrogram(self, tag: str, mel: np.ndarray, step: int):
+        """One mel figure to TB."""
+        if not self.active or self.tb is None:
+            return
+        img = self._render_mel(mel)
+        if img is not None:
+            self.tb.add_image(tag, img, step, dataformats="HWC")
+
+    def log_spectrogram_grid(self, mels: Dict[str, np.ndarray], step: int):
+        """Combined figure grid, 2 panels per row, tag = joined panel names
+        (reference train_logger.visualize_outputs / utils.visualize)."""
+        if not self.active or self.tb is None:
+            return
+        imgs = [self._render_mel(m) for m in mels.values()]
+        imgs = [i for i in imgs if i is not None]
+        if not imgs:
+            return
+        h = max(i.shape[0] for i in imgs)
+        w = max(i.shape[1] for i in imgs)
+        padded = []
+        for i in imgs:
+            canvas = np.full((h, w, 3), 255, np.uint8)
+            canvas[: i.shape[0], : i.shape[1]] = i
+            padded.append(canvas)
+        if len(padded) % 2:
+            padded.append(np.full((h, w, 3), 255, np.uint8))
+        rows = [np.concatenate(padded[r : r + 2], axis=1)
+                for r in range(0, len(padded), 2)]
+        grid = np.concatenate(rows, axis=0)
+        self.tb.add_image("-".join(mels), grid, step, dataformats="HWC")
 
     def close(self):
         if self.active and self.tb is not None:

@@ -67,8 +67,10 @@ class TrainerArgs:
     ref_compat_lr: bool = False
     n_mels: int = 80
     residual_channels: int = 256
-    dtype: str = "float32"  # or "bfloat16"
+    dtype: str = "auto"  # auto -> bfloat16 on TPU, float32 elsewhere
     precision: Optional[str] = None
+    fused_norms: str = "auto"  # auto -> Pallas fused IN(+gate) on TPU
+    remat: bool = False  # rematerialize G forwards in the G step
     sample_rate: int = 22050
     vocoder_ckpt: Optional[str] = None  # torch melgan state_dict for audio logs
 
@@ -98,13 +100,26 @@ class Trainer:
             cycle_loss_lambda=a.cycle_loss_lambda,
             ref_compat_lr=a.ref_compat_lr,
         )
+        # Production defaults resolve per-backend so the documented train
+        # command gets the fast path on TPU (bf16 MXU compute + Pallas
+        # fused norm epilogues) without extra flags, while CPU runs keep
+        # float32/XLA for parity and debugging.
+        backend = jax.default_backend()
+        dtype = a.dtype
+        if dtype == "auto":
+            dtype = "bfloat16" if backend == "tpu" else "float32"
+        fused = a.fused_norms
+        if isinstance(fused, str):
+            fused = (backend == "tpu") if fused == "auto" else fused in ("1", "true", "True")
         self.cfg = TrainConfig(
             schedule=sched,
             n_mels=a.n_mels,
             num_frames=a.num_frames,
             residual_channels=a.residual_channels,
-            dtype=jnp.bfloat16 if a.dtype == "bfloat16" else None,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else None,
             precision=a.precision,
+            fused_norms=bool(fused),
+            remat=a.remat,
         )
 
         self.mesh = make_mesh()
@@ -133,6 +148,12 @@ class Trainer:
         else:
             from maskcyclegan_vc_tpu.train.step import make_jit_train_step
 
+            if self.n_devices > 1:
+                print(
+                    f"WARNING: batch_size {a.batch_size} < {self.n_devices} "
+                    "devices — falling back to single-device training; raise "
+                    "--batch_size to a multiple of the device count to use "
+                    "the full mesh.", flush=True)
             self.step_fn = make_jit_train_step(self.cfg)
             self._shard = lambda b: b
 
@@ -141,6 +162,17 @@ class Trainer:
             config=dataclasses.asdict(a))
         self.base_key = jax.random.PRNGKey(a.seed)
         self.steps_per_epoch = sched.steps_per_epoch
+
+        # Eval/plot conversion path: one float32 generator (plots should
+        # not inherit the training compute dtype) jitted once; jax.jit
+        # recompiles per bucket length and caches thereafter.
+        from maskcyclegan_vc_tpu.train.state import build_models
+
+        eval_cfg = dataclasses.replace(
+            self.cfg, dtype=None, fused_norms=False, remat=False)
+        eval_gen, _ = build_models(eval_cfg)
+        self._convert_fn = jax.jit(
+            lambda p, x, m, l: eval_gen.apply(p, x, m, lengths=l))
 
         self._vocoder = None
         if a.vocoder_ckpt:
@@ -190,23 +222,28 @@ class Trainer:
     def _save(self, epoch: int):
         if jax.process_index() != 0:
             return
-        save_checkpoint(checkpoint_path(self.ckpt_dir, epoch),
-                        jax.device_get(self.state))
+        save_checkpoint(
+            checkpoint_path(self.ckpt_dir, epoch),
+            jax.device_get(self.state),
+            meta={
+                "seed": self.args.seed,
+                "epoch": epoch,
+                "mean_A": self.mean_A, "std_A": self.std_A,
+                "mean_B": self.mean_B, "std_B": self.std_B,
+            })
         if self.args.max_ckpts > 0:
             rotate_checkpoints(self.ckpt_dir, self.args.max_ckpts)
 
     def _convert(self, mel: np.ndarray, direction: str):
         """Full-utterance conversion (ones mask) with bucketed jit."""
-        from maskcyclegan_vc_tpu.train.state import build_models
-
-        gen, _ = build_models(self.cfg)
         t = mel.shape[1]
         bucket = ((t + 63) // 64) * 64
         x = np.zeros((1, mel.shape[0], bucket), np.float32)
         x[0, :, :t] = mel
         params = self.state.g_params[direction]
-        y = gen.apply(params, jnp.asarray(x), jnp.ones_like(jnp.asarray(x)),
-                      lengths=jnp.asarray([t]))
+        y = self._convert_fn(params, jnp.asarray(x),
+                             jnp.ones((1, mel.shape[0], bucket), jnp.float32),
+                             jnp.asarray([t]))
         return np.asarray(y)[0, :, :t]
 
     def _plot(self, epoch: int):
@@ -216,6 +253,11 @@ class Trainer:
         real_B = self.mels_B[0]
         fake_B = self._convert(real_A, "A2B")
         fake_A = self._convert(real_B, "B2A")
+        # Combined 4-panel figure (reference train.py:318-330 logs the
+        # panels as one grid image) plus the individual panels.
+        self.logger.log_spectrogram_grid(
+            {"real_A_spec": real_A, "fake_B_spec": fake_B,
+             "real_B_spec": real_B, "fake_A_spec": fake_A}, epoch)
         self.logger.log_spectrogram("real_A_spec", real_A, epoch)
         self.logger.log_spectrogram("fake_B_spec", fake_B, epoch)
         self.logger.log_spectrogram("real_B_spec", real_B, epoch)
