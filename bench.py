@@ -79,6 +79,29 @@ def main():
     state = create_train_state(cfg, seed=0)
     step = make_jit_train_step(cfg)
 
+    def step_flops(st, batch):
+        """Per-step FLOPs from XLA's own cost model (for the MFU line)."""
+        try:
+            ca = step.lower(st, batch).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    def peak_flops_per_s(device) -> float:
+        """bf16 peak per chip by device kind (0.0 = unknown)."""
+        kind = getattr(device, "device_kind", "").lower()
+        for pat, peak in (
+            ("v6", 918e12),  # Trillium
+            ("v5p", 459e12),
+            ("v5", 197e12),  # v5e reports "TPU v5 lite"
+            ("v4", 275e12),
+        ):
+            if pat in kind:
+                return peak
+        return 0.0
+
     decode = None
     if args.vocoder:
         from maskcyclegan_vc_tpu.models.melgan import MelGANGenerator
@@ -107,8 +130,11 @@ def main():
         return b
 
     batches = [make_batch(i) for i in range(2)]
+    # AOT cost analysis before the loop (donation hasn't consumed state yet;
+    # the persistent compilation cache makes the extra compile cheap).
+    flops = step_flops(state, batches[0])
 
-    for i in range(args.warmup):
+    for i in range(max(1, args.warmup)):  # >=1 so compile stays out of timing
         state, metrics = step(state, batches[i % 2])
         if decode is not None:
             wav = decode(state.g_params, batches[i % 2])
@@ -130,6 +156,7 @@ def main():
     assert np.isfinite(final)
 
     value = audio_seconds_per_step / dt
+    peak = peak_flops_per_s(jax.devices()[0])
     result = {
         "metric": "audio_seconds_per_second_per_chip"
                   + ("_e2e" if decode is not None else ""),
@@ -141,6 +168,11 @@ def main():
         "frames": args.frames,
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
+        # Speed-of-light accounting (XLA cost model): achieved TFLOP/s and
+        # model FLOPs utilization vs the chip's bf16 peak.
+        "step_tflop": round(flops / 1e12, 2),
+        "tflops_per_s": round(flops / dt / 1e12, 1) if flops else None,
+        "mfu": round(flops / dt / peak, 3) if flops and peak else None,
     }
     print(json.dumps(result))
 

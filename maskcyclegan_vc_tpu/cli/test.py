@@ -114,15 +114,16 @@ def main(argv=None):
                            f"converted_audio_{args.load_epoch}")
     os.makedirs(out_dir, exist_ok=True)
 
+    if args.compute_mcd:
+        from maskcyclegan_vc_tpu.eval.metrics import (
+            mcd_dtw,
+            mel_spectral_distance,
+        )
+
     mcds, msds = [], []
     for i, mel in enumerate(src_mels):
         fake = convert_utterance(gen, params, mel)
         if args.compute_mcd and i < len(tgt_mels):
-            from maskcyclegan_vc_tpu.eval.metrics import (
-                mcd_dtw,
-                mel_spectral_distance,
-            )
-
             # Compare in the vocoder's (denormalized log10-mel) scale.
             fake_db = fake * tgt_std + tgt_mean
             tgt_db = tgt_mels[i] * tgt_std + tgt_mean
@@ -147,7 +148,9 @@ def main(argv=None):
             write_wav(os.path.join(out_dir, stem_o + ".wav"), wav_o, args.sample_rate)
     print(f"wrote {len(src_mels)} conversions to {out_dir}")
     if mcds:
-        print(f"MCD {np.mean(mcds):.3f} dB (n={len(mcds)}), "
+        # log-mel-DCT cepstra, not WORLD/SPTK mel-cepstra: relative metric
+        # only, not comparable to the paper's published MCD figures.
+        print(f"MCD(log-mel-DCT) {np.mean(mcds):.3f} dB (n={len(mcds)}), "
               f"MSD {np.mean(msds):.3f}")
 
 

@@ -6,6 +6,11 @@ audio_samples/). The MaskCycleGAN-VC paper (arXiv:2102.12841) reports
 MCD/MSD; this module provides those objective metrics so training runs
 and the test CLI can be scored without a listening test.
 
+NOTE: this MCD is computed from DCT-of-log-mel cepstra, NOT the
+WORLD/SPTK-extracted mel-cepstra used in the paper — the absolute dB
+values are a relative/regression metric only and are not directly
+comparable to published MCD numbers.
+
 Definitions used here (standard in the VC literature):
 
   * Mel-cepstra: orthonormal DCT-II over the natural-log mel spectrum.
@@ -79,16 +84,24 @@ def mcd(cep_a, cep_b, exclude_c0: bool = True):
 
 
 def _dtw_path(cost: np.ndarray):
-    """Classic O(T1*T2) DTW on a frame-distance matrix; returns index pairs."""
+    """Classic O(T1*T2) DTW on a frame-distance matrix; returns index pairs.
+
+    The forward pass sweeps anti-diagonal wavefronts (every cell on
+    diagonal i+j=d depends only on diagonals d-1, d-2), so each update is
+    one vectorized numpy gather+min instead of a per-cell Python loop —
+    ~two orders of magnitude faster on full-length (~800x800) utterances.
+    """
     t1, t2 = cost.shape
     acc = np.full((t1 + 1, t2 + 1), np.inf, np.float64)
     acc[0, 0] = 0.0
-    for i in range(1, t1 + 1):
-        c = cost[i - 1]
-        row = acc[i]
-        prev = acc[i - 1]
-        for j in range(1, t2 + 1):
-            row[j] = c[j - 1] + min(prev[j], row[j - 1], prev[j - 1])
+    for d in range(2, t1 + t2 + 1):
+        i = np.arange(max(1, d - t2), min(t1, d - 1) + 1)
+        if i.size == 0:
+            continue
+        j = d - i
+        acc[i, j] = cost[i - 1, j - 1] + np.minimum(
+            np.minimum(acc[i - 1, j], acc[i, j - 1]), acc[i - 1, j - 1]
+        )
     path = []
     i, j = t1, t2
     while i > 0 and j > 0:

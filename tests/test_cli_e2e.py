@@ -99,7 +99,7 @@ def test_train_and_convert_cli(corpus, capsys):
     assert mel.shape[0] == 80 and np.isfinite(mel).all()
     # Objective eval: DTW-MCD vs the index-paired target utterances.
     mcd_line = [l for l in capsys.readouterr().out.splitlines()
-                if l.startswith("MCD ")]
+                if l.startswith("MCD(log-mel-DCT) ")]
     assert len(mcd_line) == 1 and "(n=3)" in mcd_line[0]
     assert np.isfinite(float(mcd_line[0].split()[1]))
 
