@@ -24,21 +24,62 @@ import numpy as np
 
 from maskcyclegan_vc_tpu.data.audio_io import load_audio
 from maskcyclegan_vc_tpu.data.dataset import compute_norm_stats, normalize, save_speaker
-from maskcyclegan_vc_tpu.data.melspec import SAMPLE_RATE, log_mel_spectrogram
+from maskcyclegan_vc_tpu.data.melspec import (
+    HOP_LENGTH,
+    N_FFT,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+)
+
+BUCKET_FRAMES = 64  # mel frames per jit shape bucket
+
+
+def make_mel_fn(use_pallas: bool):
+    """Bucketed frontend: reflect-pad on host, jit on a few fixed shapes.
+
+    The reflect pad is applied to the *original* audio on host (so tail
+    frames see the correct reflected samples), then zero-extended to the
+    bucket length — jit therefore compiles once per bucket instead of
+    once per utterance length. On TPU the fused Pallas kernel
+    (ops/pallas/melspec_kernel.py) runs the whole frontend in one kernel;
+    elsewhere the XLA matmul-DFT path (data/melspec.py) is used.
+    """
+    if use_pallas:
+        from maskcyclegan_vc_tpu.ops.pallas.melspec_kernel import (
+            log_mel_spectrogram_pallas,
+        )
+
+        core = jax.jit(lambda a: log_mel_spectrogram_pallas(a, pad=False))
+    else:
+        core = jax.jit(lambda a: log_mel_spectrogram(a, pad=False))
+
+    p = (N_FFT - HOP_LENGTH) // 2
+
+    def mel_fn(audio: np.ndarray) -> np.ndarray:
+        t = (audio.shape[0] + 2 * p - N_FFT) // HOP_LENGTH + 1
+        tb = -(-t // BUCKET_FRAMES) * BUCKET_FRAMES
+        need = (tb - 1) * HOP_LENGTH + N_FFT  # padded samples for tb frames
+        a = np.pad(audio, (p, p), mode="reflect")
+        a = np.pad(a, (0, need - a.shape[0]))
+        mel = np.asarray(core(jnp.asarray(a)[None])[0])
+        return mel[:, :t]
+
+    return mel_fn
 
 
 def preprocess_speaker(data_dir: str, out_dir: str, speaker_id: str,
-                       min_frames: int = 64) -> int:
+                       min_frames: int = 64, mel_fn=None) -> int:
     wavs = sorted(
         glob.glob(os.path.join(data_dir, speaker_id, "**/*.wav"), recursive=True)
     )
     if not wavs:
         raise FileNotFoundError(f"no wavs under {data_dir}/{speaker_id}")
-    mel_fn = jax.jit(lambda a: log_mel_spectrogram(a[None])[0])
+    if mel_fn is None:
+        mel_fn = make_mel_fn(use_pallas=jax.default_backend() == "tpu")
     mels = []
     for w in wavs:
         audio = load_audio(w, target_sr=SAMPLE_RATE)
-        mel = np.asarray(mel_fn(jnp.asarray(audio)))
+        mel = mel_fn(audio)
         if mel.shape[1] >= min_frames:  # preprocess_vcc2018.py:36
             mels.append(mel)
     mean, std = compute_norm_stats(mels)

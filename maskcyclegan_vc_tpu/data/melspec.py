@@ -123,18 +123,23 @@ def log_mel_spectrogram(
     *,
     use_fft: bool = False,
     precision: Optional[str] = "highest",
+    pad: bool = True,
 ):
     """(..., L) float audio in [-1, 1] -> (..., n_mels, T) log10-mel.
 
     Exact contract of melgan-neurips Audio2Mel at 22050 Hz defaults.
+    ``pad=False`` means the caller already applied the reflect padding
+    (used by the bucketed preprocess path to keep jit shapes static).
     """
     if mel_basis is None:
         mel_basis = jnp.asarray(mel_filterbank())
     else:
         mel_basis = jnp.asarray(mel_basis)
 
-    p = (N_FFT - HOP_LENGTH) // 2
-    audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(p, p)], mode="reflect")
+    if pad:
+        p = (N_FFT - HOP_LENGTH) // 2
+        audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(p, p)],
+                        mode="reflect")
     frames = frame_signal(audio)  # (..., T, n_fft)
     win = jnp.asarray(hann_window_periodic())
     frames = frames * win

@@ -84,24 +84,29 @@ def _melspec_kernel(audio_hbm, wc_ref, ws_ref, mel_ref, out_ref, span_ref, sem):
     out_ref[0] = jnp.log(jnp.maximum(mel, 1e-5)) * np.float32(1.0 / np.log(10.0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def log_mel_spectrogram_pallas(audio, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "pad"))
+def log_mel_spectrogram_pallas(audio, *, interpret: bool = False,
+                               pad: bool = True):
     """(B, L) audio -> (B, n_mels, T) log10-mel, fully fused on TPU.
 
     Same output as data/melspec.log_mel_spectrogram (reflect pad
-    included); T is the Audio2Mel frame count for length L.
+    included); T is the Audio2Mel frame count for length L. With
+    ``pad=False`` the caller already reflect-padded the audio (bucketed
+    preprocess path); T is then the center=False frame count.
     """
     B, L = audio.shape
     p = (N_FFT - HOP_LENGTH) // 2
-    t_total = (L + 2 * p - N_FFT) // HOP_LENGTH + 1
+    padded_len = L + 2 * p if pad else L
+    t_total = (padded_len - N_FFT) // HOP_LENGTH + 1
     n_tiles = -(-t_total // FRAMES_PER_TILE)
     t_pad = n_tiles * FRAMES_PER_TILE
 
     # Reflect-pad, then zero-extend so every span DMA is in bounds and the
     # length is a whole number of hop-rows.
     need = ((n_tiles - 1) * FRAMES_PER_TILE + SPAN_ROWS) * HOP_LENGTH
-    audio = jnp.pad(audio, ((0, 0), (p, p)), mode="reflect")
-    audio = jnp.pad(audio, ((0, 0), (0, max(0, need - (L + 2 * p)))))
+    if pad:
+        audio = jnp.pad(audio, ((0, 0), (p, p)), mode="reflect")
+    audio = jnp.pad(audio, ((0, 0), (0, max(0, need - padded_len))))
     rows_total = audio.shape[1] // HOP_LENGTH
     audio = audio.reshape(B, rows_total, HOP_LENGTH)
 

@@ -205,3 +205,35 @@ def test_norm_stats_and_roundtrip(tmp_path):
     np.testing.assert_array_equal(mean, mean2)
     for a, b in zip(normed, mels2):
         np.testing.assert_array_equal(a, b)
+
+
+# ---------- golden frontend fixtures ----------
+
+def test_mel_filterbank_matches_golden_fixture():
+    """Filterbank pinned against tests/fixtures/melfb_golden.npz — generated
+    by an independent transcription of the librosa-0.8.0 algorithm
+    (np.interp triangles; see tests/fixtures/gen_melfb_golden.py).
+    Bitwise at generation time; any numerics drift fails here."""
+    import os
+
+    from maskcyclegan_vc_tpu.data.melspec import mel_filterbank
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                             "melfb_golden.npz"))
+    np.testing.assert_array_equal(mel_filterbank(), z["melfb"])
+
+
+def test_log_mel_matches_golden_fixture():
+    """Full frontend (both the matmul-DFT and the rfft paths) vs the
+    float64 np.fft golden log-mels of a fixed signal."""
+    import os
+
+    from maskcyclegan_vc_tpu.data.melspec import log_mel_spectrogram
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                             "melfb_golden.npz"))
+    audio = jnp.asarray(z["audio"])[None]
+    for use_fft in (False, True):
+        got = np.asarray(log_mel_spectrogram(audio, use_fft=use_fft)[0])
+        assert got.shape == z["logmel"].shape
+        np.testing.assert_allclose(got, z["logmel"], atol=2e-4)
