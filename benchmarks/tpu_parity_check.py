@@ -1,0 +1,96 @@
+"""On-hardware parity check: compiled Pallas fast path vs XLA reference.
+
+The pytest suite runs the Pallas kernels in interpret mode on CPU
+(tests/conftest.py forces the CPU platform); this script is the
+compiled-on-TPU counterpart, run as part of the verify recipe:
+
+  1. fused-norms generator/discriminator forward vs the XLA path at
+     precision=highest (isolates kernel numerics from conv bf16
+     rounding, which legitimately differs between the two formulations
+     at DEFAULT precision);
+  2. generator gradients fused-vs-XLA with a hybrid abs+rel tolerance
+     (conv biases feeding an InstanceNorm have *mathematically zero*
+     gradient — IN is shift-invariant — so their values are float noise
+     and only an absolute tolerance is meaningful there);
+  3. fused Pallas mel frontend vs the XLA matmul-DFT frontend.
+
+Exits nonzero on any mismatch.  Usage: python benchmarks/tpu_parity_check.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    assert jax.default_backend() == "tpu", (
+        f"this check needs the TPU backend (got {jax.default_backend()}); "
+        "the CPU-side equivalents run in pytest via interpret mode")
+
+    from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
+    from maskcyclegan_vc_tpu.train.state import (
+        TrainConfig,
+        build_models,
+        create_train_state,
+    )
+
+    sched = ScheduleConfig(num_epochs=10, n_samples=81, batch_size=4)
+    cfg_f = TrainConfig(schedule=sched, fused_norms=True, precision="highest")
+    cfg_x = TrainConfig(schedule=sched, fused_norms=False, precision="highest")
+    gen_f, disc_f = build_models(cfg_f)
+    gen_x, disc_x = build_models(cfg_x)
+    state = create_train_state(cfg_x, seed=0)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(4, 80, 64), jnp.float32)
+    m = jnp.ones_like(x)
+
+    # 1. forwards
+    yf = jax.jit(lambda p: gen_f.apply(p, x, m))(state.g_params["A2B"])
+    yx = jax.jit(lambda p: gen_x.apply(p, x, m))(state.g_params["A2B"])
+    fwd = float(jnp.abs(yf - yx).max())
+    df = jax.jit(lambda p: disc_f.apply(p, x))(state.d_params["A"])
+    dx = jax.jit(lambda p: disc_x.apply(p, x))(state.d_params["A"])
+    dfwd = float(jnp.abs(df - dx).max())
+    print(f"gen fwd maxdiff {fwd:.3e}  disc fwd maxdiff {dfwd:.3e}")
+    assert fwd < 5e-5 and dfwd < 5e-5, "fused forward diverges on TPU"
+
+    # 2. gradients
+    def loss_f(p):
+        return jnp.mean(jnp.square(gen_f.apply(p, x, m)))
+
+    def loss_x(p):
+        return jnp.mean(jnp.square(gen_x.apply(p, x, m)))
+
+    gf = jax.jit(jax.grad(loss_f))(state.g_params["A2B"])
+    gx = jax.jit(jax.grad(loss_x))(state.g_params["A2B"])
+    worst = 0.0
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        a, b = np.asarray(a), np.asarray(b)
+        excess = np.abs(a - b) - (1e-7 + 1e-3 * np.abs(b).max())
+        worst = max(worst, float(excess.max()))
+    print(f"grad worst tolerance excess {worst:.3e}")
+    assert worst <= 0.0, "fused gradient diverges on TPU"
+
+    # 3. mel frontend
+    from maskcyclegan_vc_tpu.data.melspec import log_mel_spectrogram
+    from maskcyclegan_vc_tpu.ops.pallas.melspec_kernel import (
+        log_mel_spectrogram_pallas,
+    )
+
+    audio = jnp.asarray((rs.randn(2, 22050) * 0.3).astype(np.float32))
+    a = np.asarray(log_mel_spectrogram(audio))
+    b = np.asarray(log_mel_spectrogram_pallas(audio))
+    mel = float(np.abs(a - b).max())
+    print(f"melspec maxdiff {mel:.3e}")
+    assert mel < 1e-4, "pallas melspec diverges on TPU"
+
+    print("TPU PARITY CHECK OK")
+
+
+if __name__ == "__main__":
+    main()
