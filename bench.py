@@ -39,6 +39,9 @@ def main():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
     p.add_argument("--fused_norms", type=int, default=1)
+    p.add_argument("--identity", type=int, default=1,
+                   help="0: bench the post-stop_identity_after executable "
+                        "(the steady state for ~98%% of the canonical run)")
     p.add_argument("--vocoder", type=int, default=0,
                    help="1: decode converted mels with MelGAN in-loop "
                         "(BASELINE config 5)")
@@ -77,7 +80,7 @@ def main():
         fused_norms=bool(args.fused_norms),
     )
     state = create_train_state(cfg, seed=0)
-    step = make_jit_train_step(cfg)
+    step = make_jit_train_step(cfg, with_identity=bool(args.identity))
 
     def step_flops(st, batch):
         """Per-step FLOPs from XLA's own cost model (for the MFU line)."""

@@ -41,11 +41,14 @@ from maskcyclegan_vc_tpu.ops.layers import (
     GatedConv2d,
     InstanceNorm,
     SubpixelConv2d,
+    _NamedConvParams,
     fused_in_glu,
     fused_in_swish,
+    paired_conv,
     pixel_shuffle_nhwc,
     swish,
 )
+from maskcyclegan_vc_tpu.ops.tap_conv import tap_conv2d
 
 Dtype = Any
 
@@ -79,8 +82,14 @@ class ResidualBlock(nn.Module):
     def __call__(self, x, time_mask=None):
         kw = dict(kernel_size=3, strides=1, padding=1, dtype=self.dtype,
                   param_dtype=self.param_dtype, precision=self.precision)
-        h = Conv1dT(self.hidden, name="conv1d_layer", **kw)(x)
-        g = Conv1dT(self.hidden, name="conv_layer_gates", **kw)(x)
+        in_ch = x.shape[-1]
+        kshape = (3, in_ch, self.hidden)
+        k_h, b_h = _NamedConvParams(kshape, in_ch * 3, self.param_dtype,
+                                    name="conv1d_layer")()
+        k_g, b_g = _NamedConvParams(kshape, in_ch * 3, self.param_dtype,
+                                    name="conv_layer_gates")()
+        h, g = paired_conv(x, k_h, b_h, k_g, b_g, strides=1, padding=1,
+                           dtype=self.dtype, precision=self.precision, dims=1)
         norm_h = InstanceNorm(self.hidden, dtype=self.dtype,
                               param_dtype=self.param_dtype,
                               name="conv1d_layer_norm")
@@ -160,9 +169,22 @@ class Generator(nn.Module):
         conv_kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
                        precision=self.precision)
 
-        # Input true-GLU conv pair (model.py:116-126,242).
-        a = Conv2dT(R // 2, (5, 15), (1, 1), (2, 7), name="conv1", **conv_kw)(h)
-        g = Conv2dT(R // 2, (5, 15), (1, 1), (2, 7), name="conv1_gates", **conv_kw)(h)
+        # Input true-GLU conv pair (model.py:116-126,242) — paired through
+        # the tap-matmul formulation (Cin=2 is MXU-starved as lax.conv;
+        # pairing doubles the matmul's output width to 2*(R/2) lanes and
+        # reads the im2col'd input once).
+        from flax.linen import dtypes as _fdt
+
+        kshape1 = (5, 15, 2, R // 2)
+        k_a, b_a = _NamedConvParams(kshape1, 2 * 5 * 15, self.param_dtype,
+                                    name="conv1")()
+        k_g1, b_g1 = _NamedConvParams(kshape1, 2 * 5 * 15, self.param_dtype,
+                                      name="conv1_gates")()
+        kk = jnp.concatenate([k_a, k_g1], axis=-1)
+        bb = jnp.concatenate([b_a, b_g1])
+        hh, kk, bb = _fdt.promote_dtype(h, kk, bb, dtype=self.dtype)
+        ag = tap_conv2d(hh, kk, bb, (2, 7), precision=self.precision)
+        a, g = ag[..., : R // 2], ag[..., R // 2:]
         h = a * jax.nn.sigmoid(g)
         if tm0 is not None:
             h = h * tm0.astype(h.dtype)

@@ -270,12 +270,60 @@ class InstanceNorm(nn.Module):
         return y
 
 
+class _NamedConvParams(nn.Module):
+    """Conv params under ``<name>/conv/{kernel,bias}`` — the exact tree
+    ``Conv2dT``/``Conv1dT`` declare, for paths that compute with the raw
+    kernels instead of calling the conv module."""
+
+    kshape: Tuple[int, ...]
+    fan_in: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(self.kshape, self.fan_in,
+                           param_dtype=self.param_dtype, name="conv")()
+
+
+def paired_conv(x, kernel_h, bias_h, kernel_g, bias_g, *, strides, padding,
+                dtype=None, precision=None, dims=2):
+    """Run a true-GLU conv pair as ONE conv with concatenated kernels.
+
+    The two branches read the same input; concatenating the HWIO kernels
+    along O turns two half-width matmuls into one full-width MXU matmul
+    and halves the input HBM traffic — in the forward and, via autodiff
+    of the concat, in both backward passes (dx is one transposed conv on
+    the concatenated dy; dW is one conv, then split). The dot products
+    are bit-identical to the separate convs.
+
+    Returns (h, g), each with ``kernel_h.shape[-1]`` channels.
+    """
+    C = kernel_h.shape[-1]
+    k = jnp.concatenate([kernel_h, kernel_g], axis=-1)
+    b = jnp.concatenate([bias_h, bias_g]) if bias_h is not None else None
+    x, k, b = flax_dtypes.promote_dtype(x, k, b, dtype=dtype)
+    if dims == 2:
+        dn = ("NHWC", "HWIO", "NHWC")
+        pad = [(padding[0], padding[0]), (padding[1], padding[1])]
+    else:
+        dn = ("NHC", "HIO", "NHC")
+        pad = [(padding, padding)]
+        strides = (strides,) if isinstance(strides, int) else strides
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=strides, padding=pad,
+        dimension_numbers=dn, precision=precision)
+    if b is not None:
+        y = y + b
+    return y[..., :C], y[..., C:]
+
+
 class GatedConv2d(nn.Module):
     """True GLU downsample block: two parallel conv+IN, signal * sigmoid(gate).
 
-    Reference ``DownSampleGenerator`` (model.py:79-103). The two convs share
-    the same input read — a natural fusion target (one Pallas kernel reads
-    the input tile once and produces both branches).
+    Reference ``DownSampleGenerator`` (model.py:79-103). The two convs
+    share the same input read, so they run as one concatenated-kernel
+    conv (``paired_conv``); the IN+GLU epilogue optionally fuses into a
+    Pallas kernel. Param tree is identical to two separate ``Conv2dT``s.
     """
 
     features: int
@@ -289,17 +337,17 @@ class GatedConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_mask=None):
-        kw = dict(
-            features=self.features,
-            kernel_size=self.kernel_size,
-            strides=self.strides,
-            padding=self.padding,
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-            precision=self.precision,
-        )
-        h = Conv2dT(name="convLayer", **kw)(x)
-        g = Conv2dT(name="convLayer_gates", **kw)(x)
+        kh, kw_ = self.kernel_size
+        in_ch = x.shape[-1]
+        fan_in = in_ch * kh * kw_
+        kshape = (kh, kw_, in_ch, self.features)
+        k_h, b_h = _NamedConvParams(kshape, fan_in, self.param_dtype,
+                                    name="convLayer")()
+        k_g, b_g = _NamedConvParams(kshape, fan_in, self.param_dtype,
+                                    name="convLayer_gates")()
+        h, g = paired_conv(x, k_h, b_h, k_g, b_g, strides=self.strides,
+                           padding=self.padding, dtype=self.dtype,
+                           precision=self.precision, dims=2)
         norm_h = InstanceNorm(self.features, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="convLayer_norm")
         norm_g = InstanceNorm(self.features, dtype=self.dtype,

@@ -88,14 +88,15 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
-def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, donate: bool = True):
+def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, donate: bool = True,
+                            with_identity: bool = True):
     """Jitted train step with GSPMD shardings over ``mesh``.
 
     State is replicated; batch arrives sharded on its leading dim. XLA
     inserts the cross-device grad reduction because every loss term is a
     global mean over the sharded batch dim.
     """
-    step_fn = make_train_step(cfg)
+    step_fn = make_train_step(cfg, with_identity)
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
     batch_shardings = {k: bsh for k in ("real_A", "mask_A", "real_B", "mask_B")}

@@ -35,10 +35,22 @@ def _l1(a, b):
     return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
-def make_train_step(cfg: TrainConfig):
+def make_train_step(cfg: TrainConfig, with_identity: bool = True):
     """Build ``train_step(state, batch) -> (state, metrics)`` (pure, jittable).
 
     batch: {"real_A": (B,M,T), "mask_A": (B,M,T), "real_B": ..., "mask_B": ...}
+
+    ``with_identity`` statically includes/excludes the identity-loss
+    forwards. The identity cutoff is a fixed step threshold, so the
+    trainer compiles both variants and switches executables at the
+    boundary instead of carrying a ``lax.cond`` — a conditional is a
+    scheduling barrier XLA can't fuse or overlap across (measured ~64
+    ms/step wrapped in conds at BASELINE config 2), and after
+    ``stop_identity_after`` (~98% of the canonical 500k-step run) the
+    identity FLOPs vanish from the executable entirely. The
+    ``with_identity=True`` variant stays exact past the cutoff too
+    (terms are weighted by the scheduled lambda), so the switch is an
+    optimization, not a semantics change.
     """
     gen, disc = build_models(cfg)
     sched = cfg.schedule
@@ -67,17 +79,18 @@ def make_train_step(cfg: TrainConfig):
 
         cycle_loss = _l1(real_A, cycle_A) + _l1(real_B, cycle_B)
 
-        # Identity forwards are skipped entirely once lambda hits zero
-        # (the reference keeps computing them — train.py:207-210 — which
-        # is pure waste after stop_identity_after).
-        def with_identity(_):
+        # reference train.py:207-210 (the reference keeps computing the
+        # identity forwards after stop_identity_after — pure waste; here
+        # the no-identity executable drops them).
+        if with_identity:
             identity_A = gen_apply(g_params["B2A"], real_A, ones)
             identity_B = gen_apply(g_params["A2B"], real_B, ones)
-            return _l1(real_A, identity_A) + _l1(real_B, identity_B)
-
-        identity_loss = jax.lax.cond(
-            lam_id > 0.0, with_identity, lambda _: jnp.float32(0.0), None
-        )
+            identity_loss = _l1(real_A, identity_A) + _l1(real_B, identity_B)
+            # Report 0 past the cutoff (the term is weighted away there),
+            # matching the no-identity executable's metric.
+            identity_loss = jnp.where(lam_id > 0.0, identity_loss, 0.0)
+        else:
+            identity_loss = jnp.float32(0.0)
 
         adv = (
             _lsgan(d_fake_B, 1.0)
@@ -170,6 +183,6 @@ def make_train_step(cfg: TrainConfig):
     return train_step
 
 
-def make_jit_train_step(cfg: TrainConfig):
+def make_jit_train_step(cfg: TrainConfig, with_identity: bool = True):
     """Single-device jitted step with state donation."""
-    return jax.jit(make_train_step(cfg), donate_argnums=(0,))
+    return jax.jit(make_train_step(cfg, with_identity), donate_argnums=(0,))

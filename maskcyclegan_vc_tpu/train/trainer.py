@@ -141,9 +141,14 @@ class Trainer:
         # Small batches can't shard across more devices than samples;
         # fall back to single-device jit in that case (the reference's
         # canonical config is batch_size=1).
+        # Two step executables (identity on/off, see train/step.py) built
+        # lazily — the trainer switches at the stop_identity_after
+        # boundary instead of carrying a lax.cond in the graph.
+        self._step_fns = {}
         if a.batch_size >= self.n_devices and a.batch_size % self.n_devices == 0:
             self.state = replicate(self.state, self.mesh)
-            self.step_fn = make_sharded_train_step(self.cfg, self.mesh)
+            self._make_step = lambda wi: make_sharded_train_step(
+                self.cfg, self.mesh, with_identity=wi)
             self._shard = lambda b: shard_batch(b, self.mesh)
         else:
             from maskcyclegan_vc_tpu.train.step import make_jit_train_step
@@ -154,8 +159,10 @@ class Trainer:
                     "devices — falling back to single-device training; raise "
                     "--batch_size to a multiple of the device count to use "
                     "the full mesh.", flush=True)
-            self.step_fn = make_jit_train_step(self.cfg)
+            self._make_step = lambda wi: make_jit_train_step(
+                self.cfg, with_identity=wi)
             self._shard = lambda b: b
+        self._identity_cutoff = a.stop_identity_after // a.batch_size
 
         self.logger = TrainLogger(
             a.save_dir, a.name, steps_per_print=a.steps_per_print,
@@ -177,6 +184,13 @@ class Trainer:
         self._vocoder = None
         if a.vocoder_ckpt:
             self._vocoder = self._load_vocoder(a.vocoder_ckpt)
+
+    def _step_fn(self, step: int):
+        """Executable for this step: identity on until the cutoff, off after."""
+        wi = step <= self._identity_cutoff
+        if wi not in self._step_fns:
+            self._step_fns[wi] = self._make_step(wi)
+        return self._step_fns[wi]
 
     def _load_vocoder(self, path):
         import torch
@@ -204,7 +218,7 @@ class Trainer:
                     key, self.bank_A, self.bank_B, a.batch_size,
                     a.num_frames, a.max_mask_len)
                 batch = self._shard(batch)
-                self.state, metrics = self.step_fn(self.state, batch)
+                self.state, metrics = self._step_fn(step)(self.state, batch)
                 step += 1
                 self.logger.log_iter(
                     step, epoch,

@@ -139,3 +139,29 @@ def test_identity_loss_active_then_off():
     state, m2 = step(state, tiny_batch(4))
     assert float(m2["identity_lambda"]) == 0.0
     assert float(m2["g_identity_loss"]) == 0.0
+
+
+def test_identity_executable_switch_is_exact():
+    """Past the identity cutoff the with/without-identity executables
+    must produce identical updates (lambda is 0 there, so the identity
+    terms are weighted away; the no-identity variant just drops them)."""
+    import jax
+
+    from maskcyclegan_vc_tpu.train.state import create_train_state
+    from maskcyclegan_vc_tpu.train.step import make_jit_train_step
+
+    cfg = tiny_cfg()
+    cutoff = cfg.schedule.stop_identity_after // cfg.schedule.batch_size
+    state = create_train_state(cfg, seed=0)
+    # Advance the step counter past the cutoff.
+    state = state.replace(step=jnp.asarray(cutoff + 1, jnp.int32))
+    batch = tiny_batch(0)
+
+    s_on, m_on = make_jit_train_step(cfg, with_identity=True)(
+        jax.device_get(state), batch)
+    s_off, m_off = make_jit_train_step(cfg, with_identity=False)(
+        jax.device_get(state), batch)
+    assert float(m_on["identity_lambda"]) == 0.0
+    assert float(m_on["g_loss"]) == float(m_off["g_loss"])
+    for a, b in zip(jax.tree.leaves(s_on.g_params), jax.tree.leaves(s_off.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
