@@ -200,5 +200,15 @@ class TrainLogger:
         self.tb.add_image("-".join(mels), grid, step, dataformats="HWC")
 
     def close(self):
-        if self.active and self.tb is not None:
+        if not self.active:
+            return
+        if self._buffer:  # flush a partial window so no metrics are lost
+            for n, md in self._buffer:
+                for k, v in md.items():
+                    self.meters[k].update(float(v), n)
+            self._buffer.clear()
+            self.write(" ".join(
+                ["[final]"] + [f"{k}: {m.avg:.5f}"
+                               for k, m in sorted(self.meters.items())]))
+        if self.tb is not None:
             self.tb.close()
