@@ -51,15 +51,31 @@ def load_generator_params(ckpt_dir: str, load_epoch: int, model_name: str,
     raise FileNotFoundError(f"no checkpoint for epoch {load_epoch} in {ckpt_dir}")
 
 
+def make_convert_fn(gen: Generator):
+    """Jitted full-length conversion (ones mask), bucketed to T%64==0.
+
+    One jitted callable; jax.jit recompiles per bucket width and caches,
+    so a corpus of utterances costs a handful of compiles, not eager
+    op-by-op dispatch per utterance.
+    """
+    apply = jax.jit(lambda p, x, m, l: gen.apply(p, x, m, lengths=l))
+
+    def convert(params, mel: np.ndarray) -> np.ndarray:
+        t = mel.shape[1]
+        bucket = ((t + 63) // 64) * 64
+        x = np.zeros((1, mel.shape[0], bucket), np.float32)
+        x[0, :, :t] = mel
+        y = apply(params, jnp.asarray(x),
+                  jnp.ones((1, mel.shape[0], bucket), jnp.float32),
+                  jnp.asarray([t]))
+        return np.asarray(y)[0, :, :t]
+
+    return convert
+
+
 def convert_utterance(gen: Generator, params, mel: np.ndarray) -> np.ndarray:
-    """Full-length conversion with ones mask, bucketed to T%64==0."""
-    t = mel.shape[1]
-    bucket = ((t + 63) // 64) * 64
-    x = np.zeros((1, mel.shape[0], bucket), np.float32)
-    x[0, :, :t] = mel
-    y = gen.apply(params, jnp.asarray(x), jnp.ones((1, mel.shape[0], bucket)),
-                  lengths=jnp.asarray([t]))
-    return np.asarray(y)[0, :, :t]
+    """One-shot convenience wrapper around ``make_convert_fn``."""
+    return make_convert_fn(gen)(params, mel)
 
 
 def main(argv=None):
@@ -120,9 +136,10 @@ def main(argv=None):
             mel_spectral_distance,
         )
 
+    convert = make_convert_fn(gen)
     mcds, msds = [], []
     for i, mel in enumerate(src_mels):
-        fake = convert_utterance(gen, params, mel)
+        fake = convert(params, mel)
         if args.compute_mcd and i < len(tgt_mels):
             # Compare in the vocoder's (denormalized log10-mel) scale.
             fake_db = fake * tgt_std + tgt_mean

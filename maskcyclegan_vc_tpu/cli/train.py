@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize generator forwards in the G step "
                         "(trade FLOPs for HBM)")
+    p.add_argument("--scan_epochs", type=int, choices=[0, 1],
+                   default=int(d.scan_epochs),
+                   help="single-device: run each epoch as one lax.scan "
+                        "device program (removes per-step host dispatch)")
     p.add_argument("--sample_rate", type=int, default=d.sample_rate)
     p.add_argument("--vocoder_ckpt", type=str, default=None)
     p.add_argument("--distributed", action="store_true",

@@ -186,3 +186,35 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True):
 def make_jit_train_step(cfg: TrainConfig, with_identity: bool = True):
     """Single-device jitted step with state donation."""
     return jax.jit(make_train_step(cfg, with_identity), donate_argnums=(0,))
+
+
+def make_scan_epoch(cfg: TrainConfig, with_identity: bool, n_steps: int,
+                    batch: int, n_frames: int, max_mask_len: int):
+    """One whole epoch as a single device program (lax.scan over steps).
+
+    At the reference's canonical batch-1 config the per-step wall time is
+    dominated by host dispatch (one jit launch + one sampler launch per
+    81-step epoch through the TPU tunnel); scanning runs the epoch with
+    ONE launch and returns per-step metrics stacked (n_steps,).
+
+    Exactness: the per-step sampler key is ``fold_in(base_key,
+    state.step)`` — the same derivation the step-at-a-time loop uses —
+    so the batch stream is identical and the trajectory matches the
+    unscanned path (pinned by tests/test_train_step.py).
+
+    Returns ``epoch_fn(state, bank_a, bank_b, base_key) -> (state,
+    stacked_metrics)``, jitted with state donation.
+    """
+    from maskcyclegan_vc_tpu.data.dataset import sample_batch
+
+    step_fn = make_train_step(cfg, with_identity)
+
+    def epoch_fn(state: TrainState, bank_a, bank_b, base_key):
+        def body(st, _):
+            key = jax.random.fold_in(base_key, st.step)
+            b = sample_batch(key, bank_a, bank_b, batch, n_frames, max_mask_len)
+            return step_fn(st, b)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))

@@ -71,6 +71,7 @@ class TrainerArgs:
     precision: Optional[str] = None
     fused_norms: str = "auto"  # auto -> Pallas fused IN(+gate) on TPU
     remat: bool = False  # rematerialize G forwards in the G step
+    scan_epochs: bool = True  # single-device: one lax.scan program per epoch
     sample_rate: int = 22050
     vocoder_ckpt: Optional[str] = None  # torch melgan state_dict for audio logs
 
@@ -145,7 +146,9 @@ class Trainer:
         # lazily — the trainer switches at the stop_identity_after
         # boundary instead of carrying a lax.cond in the graph.
         self._step_fns = {}
-        if a.batch_size >= self.n_devices and a.batch_size % self.n_devices == 0:
+        sharded = (a.batch_size >= self.n_devices
+                   and a.batch_size % self.n_devices == 0)
+        if sharded:
             self.state = replicate(self.state, self.mesh)
             self._make_step = lambda wi: make_sharded_train_step(
                 self.cfg, self.mesh, with_identity=wi)
@@ -163,6 +166,13 @@ class Trainer:
                 self.cfg, with_identity=wi)
             self._shard = lambda b: b
         self._identity_cutoff = a.stop_identity_after // a.batch_size
+        # Single-device runs execute each epoch as ONE device program
+        # (lax.scan over steps with on-device sampling) — at the canonical
+        # batch-1 config the per-step wall time is host dispatch, not
+        # compute. Multi-device keeps the step-at-a-time host loop (batch
+        # sharding happens at the host boundary there).
+        self._use_scan = a.scan_epochs and (not sharded or self.n_devices == 1)
+        self._scan_fns = {}
 
         self.logger = TrainLogger(
             a.save_dir, a.name, steps_per_print=a.steps_per_print,
@@ -207,23 +217,47 @@ class Trainer:
         params = jax.tree.map(jnp.asarray, melgan_params_from_torch(sd))
         return gen, params
 
+    def _scan_fn(self, step: int):
+        from maskcyclegan_vc_tpu.train.step import make_scan_epoch
+
+        wi = step <= self._identity_cutoff
+        if wi not in self._scan_fns:
+            a = self.args
+            self._scan_fns[wi] = make_scan_epoch(
+                self.cfg, wi, self.steps_per_epoch, a.batch_size,
+                a.num_frames, a.max_mask_len)
+        return self._scan_fns[wi]
+
     def train(self):
         a = self.args
         step = int(jax.device_get(self.state.step))
         for epoch in range(self.start_epoch, a.num_epochs + 1):
             t0 = time.time()
-            for _ in range(self.steps_per_epoch):
-                key = jax.random.fold_in(self.base_key, step)
-                batch = sample_batch(
-                    key, self.bank_A, self.bank_B, a.batch_size,
-                    a.num_frames, a.max_mask_len)
-                batch = self._shard(batch)
-                self.state, metrics = self._step_fn(step)(self.state, batch)
-                step += 1
-                self.logger.log_iter(
-                    step, epoch,
-                    {k: metrics[k] for k in ("g_loss", "d_loss")},
-                    batch_size=a.batch_size)
+            if self._use_scan:
+                self.state, stacked = self._scan_fn(step)(
+                    self.state, self.bank_A, self.bank_B, self.base_key)
+                # One host fetch per epoch, then feed the logger per step.
+                vals = jax.device_get(
+                    {k: stacked[k] for k in ("g_loss", "d_loss")})
+                for j in range(self.steps_per_epoch):
+                    step += 1
+                    self.logger.log_iter(
+                        step, epoch,
+                        {k: float(vals[k][j]) for k in vals},
+                        batch_size=a.batch_size)
+            else:
+                for _ in range(self.steps_per_epoch):
+                    key = jax.random.fold_in(self.base_key, step)
+                    batch = sample_batch(
+                        key, self.bank_A, self.bank_B, a.batch_size,
+                        a.num_frames, a.max_mask_len)
+                    batch = self._shard(batch)
+                    self.state, metrics = self._step_fn(step)(self.state, batch)
+                    step += 1
+                    self.logger.log_iter(
+                        step, epoch,
+                        {k: metrics[k] for k in ("g_loss", "d_loss")},
+                        batch_size=a.batch_size)
 
             if epoch % a.epochs_per_plot == 0:
                 self._plot(epoch)

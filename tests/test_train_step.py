@@ -165,3 +165,43 @@ def test_identity_executable_switch_is_exact():
     assert float(m_on["g_loss"]) == float(m_off["g_loss"])
     for a, b in zip(jax.tree.leaves(s_on.g_params), jax.tree.leaves(s_off.g_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_epoch_matches_step_loop():
+    """The scanned epoch must follow the exact per-step trajectory: same
+    fold_in(base_key, state.step) keys -> same sampled batches -> same
+    updates (tolerances cover compilation-order float noise only)."""
+    import jax
+
+    from maskcyclegan_vc_tpu.data.dataset import MelBank, sample_batch
+    from maskcyclegan_vc_tpu.train.state import create_train_state
+    from maskcyclegan_vc_tpu.train.step import make_jit_train_step, make_scan_epoch
+
+    cfg = tiny_cfg()
+    rs = np.random.RandomState(0)
+    bank = MelBank.from_list(
+        [rs.randn(8, 40).astype(np.float32) for _ in range(4)], min_frames=8)
+    base_key = jax.random.PRNGKey(3)
+    n_steps, batch, n_frames, mml = 3, 2, 8, 4
+
+    state_a = create_train_state(cfg, seed=0)
+    step_fn = make_jit_train_step(cfg)
+    metrics_loop = []
+    step = int(state_a.step)
+    for _ in range(n_steps):
+        key = jax.random.fold_in(base_key, step)
+        b = sample_batch(key, bank, bank, batch, n_frames, mml)
+        state_a, m = step_fn(state_a, b)
+        metrics_loop.append(float(m["g_loss"]))
+        step += 1
+
+    state_b = create_train_state(cfg, seed=0)
+    epoch_fn = make_scan_epoch(cfg, True, n_steps, batch, n_frames, mml)
+    state_b, stacked = epoch_fn(state_b, bank, bank, base_key)
+
+    assert int(state_b.step) == n_steps
+    np.testing.assert_allclose(
+        np.asarray(stacked["g_loss"]), np.asarray(metrics_loop), rtol=2e-4)
+    for pa, pb in zip(jax.tree.leaves(state_a.g_params),
+                      jax.tree.leaves(state_b.g_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-3)
