@@ -30,6 +30,43 @@ from maskcyclegan_vc_tpu.train.state import TrainConfig
 from maskcyclegan_vc_tpu.train.step import make_train_step
 
 
+def make_sharded_scan_epoch(cfg: TrainConfig, mesh: Mesh, with_identity: bool,
+                            n_steps: int, batch: int, n_frames: int,
+                            max_mask_len: int):
+    """Whole-epoch lax.scan under GSPMD: on-device sampling, sharded steps.
+
+    The single-device rationale (train/step.make_scan_epoch: one device
+    program per epoch, no per-step host dispatch) carried onto the mesh:
+    the sampled batch gets a ``P('data')`` sharding constraint inside the
+    loop, so every train step runs with the same partitioning as the
+    step-at-a-time path and XLA inserts the same gradient all-reduces.
+    Single-controller only (the multi-process host loop feeds
+    process-local shards from the host instead).
+    """
+    from maskcyclegan_vc_tpu.data.dataset import sample_batch
+
+    step_fn = make_train_step(cfg, with_identity)
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+
+    def epoch_fn(state, bank_a, bank_b, base_key):
+        def body(st, _):
+            key = jax.random.fold_in(base_key, st.step)
+            b = sample_batch(key, bank_a, bank_b, batch, n_frames, max_mask_len)
+            b = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, bsh), b)
+            return step_fn(st, b)
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    return jax.jit(
+        epoch_fn,
+        in_shardings=(repl, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
 def make_mesh(devices: Optional[Sequence] = None, data_axis: Optional[int] = None) -> Mesh:
     """Mesh over devices: ('data', 'model') with model=1 by default."""
     if devices is None:

@@ -169,3 +169,41 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_scan_epoch_matches_host_loop():
+    """The GSPMD scanned epoch (on-device sampling + P('data') constraint)
+    must follow the host-loop sharded trajectory: same folded keys, same
+    batches, same all-reduced updates."""
+    from maskcyclegan_vc_tpu.data.dataset import MelBank, sample_batch
+    from maskcyclegan_vc_tpu.parallel.mesh import make_sharded_scan_epoch
+
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    rs = np.random.RandomState(0)
+    bank = MelBank.from_list(
+        [rs.randn(8, 40).astype(np.float32) for _ in range(4)], min_frames=8)
+    base_key = jax.random.PRNGKey(5)
+    n_steps, batch = 2, 8
+
+    state_a = replicate(create_train_state(cfg, seed=0), mesh)
+    step = make_sharded_train_step(cfg, mesh, donate=False)
+    losses = []
+    s = 0
+    for _ in range(n_steps):
+        key = jax.random.fold_in(base_key, s)
+        b = sample_batch(key, bank, bank, batch, 8, 4)
+        state_a, m = step(state_a, shard_batch(jax.device_get(b), mesh))
+        losses.append(float(m["g_loss"]))
+        s += 1
+
+    state_b = replicate(create_train_state(cfg, seed=0), mesh)
+    epoch = make_sharded_scan_epoch(cfg, mesh, True, n_steps, batch, 8, 4)
+    state_b, stacked = epoch(state_b, bank, bank, base_key)
+
+    assert int(state_b.step) == n_steps
+    np.testing.assert_allclose(
+        np.asarray(stacked["g_loss"]), np.asarray(losses), rtol=2e-4)
+    for pa, pb in zip(jax.tree.leaves(state_a.g_params),
+                      jax.tree.leaves(state_b.g_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-3)
