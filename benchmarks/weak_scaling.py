@@ -56,7 +56,7 @@ def main():
         counts = [c for c in (1, 2, 4, 8, 16, 32, 64) if c <= n_all]
 
     hop, sr = 256, 22050
-    base_rate = None
+    base_rate = base_n = None
     for n in counts:
         b = args.per_device_batch * n
         cfg = TrainConfig(
@@ -90,13 +90,16 @@ def main():
         audio_s = b * args.frames * hop / sr
         rate = audio_s / dt
         if base_rate is None:
-            base_rate = rate
+            base_rate, base_n = rate, n
+        # Weak-scaling efficiency: per-device throughput vs the FIRST
+        # measured count's per-device throughput (base_n need not be 1).
         print(json.dumps({
             "devices": n,
             "global_batch": b,
             "audio_s_per_s": round(rate, 2),
             "step_time_ms": round(dt * 1e3, 2),
-            "efficiency_vs_1dev": round(rate / (base_rate * n), 3),
+            "base_devices": base_n,
+            "efficiency_vs_base": round((rate / n) / (base_rate / base_n), 3),
         }), flush=True)
 
 

@@ -60,7 +60,12 @@ def make_mel_fn(use_pallas: bool):
         tb = -(-t // BUCKET_FRAMES) * BUCKET_FRAMES
         need = (tb - 1) * HOP_LENGTH + N_FFT  # padded samples for tb frames
         a = np.pad(audio, (p, p), mode="reflect")
-        a = np.pad(a, (0, need - a.shape[0]))
+        # When t is already a bucket multiple but the length is not
+        # hop-aligned, the reflected audio can be LONGER than `need`
+        # (need < L + 2p); clamp the pad width and truncate. The dropped
+        # tail lies beyond frame t-1's window ((t-1)*hop + n_fft <= need),
+        # and `need` is hop-aligned so the Pallas pad=False reshape holds.
+        a = np.pad(a, (0, max(0, need - a.shape[0])))[:need]
         mel = np.asarray(core(jnp.asarray(a)[None])[0])
         return mel[:, :t]
 

@@ -18,4 +18,8 @@
 # scaling runs are apples-to-apples with single-host runs.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# Pod launches must come up multi-process — refuse to run as N silent solo
+# trainers (parallel/dist.py asserts process_count > 1). For a deliberate
+# single-host run, export MASKVC_REQUIRE_MULTIHOST=0 first.
+export MASKVC_REQUIRE_MULTIHOST="${MASKVC_REQUIRE_MULTIHOST:-1}"
 exec python -m maskcyclegan_vc_tpu.cli.train --distributed "$@"

@@ -237,3 +237,24 @@ def test_log_mel_matches_golden_fixture():
         got = np.asarray(log_mel_spectrogram(audio, use_fft=use_fft)[0])
         assert got.shape == z["logmel"].shape
         np.testing.assert_allclose(got, z["logmel"], atol=2e-4)
+
+
+# ---------- bucketed preprocess frontend ----------
+
+def test_make_mel_fn_bucket_boundary_lengths():
+    """Regression: lengths whose frame count t is an exact bucket multiple
+    but whose reflected length exceeds the bucket's sample need used to hit
+    np.pad with a negative width (round-2 advisor finding). 16,400 samples
+    gives t=64 with L+2p > need; both that case and an ordinary length must
+    match the unbucketed frontend exactly."""
+    from maskcyclegan_vc_tpu.cli.preprocess import make_mel_fn
+
+    mel_fn = make_mel_fn(use_pallas=False)
+    rs = np.random.RandomState(7)
+    for n in (16_400, 16_384, 22_050, 16_128):
+        audio = (0.3 * np.sin(np.arange(n) / 25.0)
+                 + 0.01 * rs.randn(n)).astype(np.float32)
+        got = mel_fn(audio)
+        want = np.asarray(log_mel_spectrogram(jnp.asarray(audio)[None])[0])
+        assert got.shape == want.shape, n
+        np.testing.assert_allclose(got, want, atol=1e-5)
