@@ -39,6 +39,13 @@ from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
 from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
 
 
+# Scalars plumbed to the logger/TB each step — the reference logs only
+# g_loss/d_loss (train.py:302-304); the per-term decomposition (adversarial,
+# cycle, identity, first/second-step D) comes free from the fused step.
+LOGGED_METRICS = ("g_loss", "d_loss", "g_adv_loss", "g_cycle_loss",
+                  "g_identity_loss", "d_loss_first", "d_loss_second")
+
+
 @dataclasses.dataclass
 class TrainerArgs:
     """Run-level knobs (flag names follow the reference parsers)."""
@@ -249,7 +256,7 @@ class Trainer:
                     self.state, self.bank_A, self.bank_B, self.base_key)
                 # One host fetch per epoch, then feed the logger per step.
                 vals = jax.device_get(
-                    {k: stacked[k] for k in ("g_loss", "d_loss")})
+                    {k: stacked[k] for k in LOGGED_METRICS})
                 for j in range(self.steps_per_epoch):
                     step += 1
                     self.logger.log_iter(
@@ -267,7 +274,7 @@ class Trainer:
                     step += 1
                     self.logger.log_iter(
                         step, epoch,
-                        {k: metrics[k] for k in ("g_loss", "d_loss")},
+                        {k: metrics[k] for k in LOGGED_METRICS},
                         batch_size=a.batch_size)
 
             if epoch % a.epochs_per_plot == 0:
@@ -308,8 +315,12 @@ class Trainer:
     def _plot(self, epoch: int):
         if jax.process_index() != 0:
             return
-        real_A = self.mels_A[0]
-        real_B = self.mels_B[0]
+        # Rotate through the validation utterances, one per plot epoch —
+        # the reference walks its validation_dataloader so successive plot
+        # epochs show different utterances (train.py:317-358).
+        idx = (epoch // max(1, self.args.epochs_per_plot) - 1)
+        real_A = self.mels_A[idx % len(self.mels_A)]
+        real_B = self.mels_B[idx % len(self.mels_B)]
         fake_B = self._convert(real_A, "A2B")
         fake_A = self._convert(real_B, "B2A")
         # Combined 4-panel figure (reference train.py:318-330 logs the

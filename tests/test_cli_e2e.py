@@ -78,6 +78,12 @@ def test_train_and_convert_cli(corpus, capsys):
     ])
     ckpts = glob.glob(os.path.join(save, "e2e", "ckpts", "*_state.npz"))
     assert len(ckpts) == 1
+    # Full metric decomposition reaches the .log (scan-epoch path).
+    with open(os.path.join(save, "e2e", "e2e.log")) as f:
+        log = f.read()
+    for k in ("g_loss", "d_loss", "g_adv_loss", "g_cycle_loss",
+              "g_identity_loss", "d_loss_first", "d_loss_second"):
+        assert f"{k}:" in log, k
     assert os.path.exists(os.path.join(save, "e2e", "train_args.json"))
     with open(os.path.join(save, "e2e", "train_args.json")) as f:
         snap = json.load(f)
@@ -121,6 +127,37 @@ def test_resume_continues(corpus):
         "--residual_channels", "8",
         "--epochs_per_save", "2",
         "--epochs_per_plot", "1000",
+        "--steps_per_print", "1",
+        "--scan_epochs", "0",  # resume through the host-loop path
         "--continue_train",
     ])
     assert latest_epoch(os.path.join(save, "e2e", "ckpts")) == 4
+    # Full metric decomposition also reaches the .log on the host-loop path.
+    with open(os.path.join(save, "e2e", "e2e.log")) as f:
+        log = f.read()
+    assert "g_cycle_loss:" in log and "d_loss_second:" in log
+
+
+def test_plot_rotates_validation_utterances():
+    """Successive plot epochs show different utterances (reference walks
+    its validation_dataloader, train.py:317-358)."""
+    import types
+
+    from maskcyclegan_vc_tpu.train.trainer import Trainer, TrainerArgs
+
+    recorded = []
+    stub = types.SimpleNamespace(
+        args=TrainerArgs(epochs_per_plot=2),
+        mels_A=[np.full((80, 70), i, np.float32) for i in range(3)],
+        mels_B=[np.full((80, 70), 10 + i, np.float32) for i in range(2)],
+        _convert=lambda mel, d: mel,
+        _vocoder=None,
+        logger=types.SimpleNamespace(
+            log_spectrogram_grid=lambda m, e: recorded.append(
+                (float(m["real_A_spec"][0, 0]), float(m["real_B_spec"][0, 0]))),
+            log_spectrogram=lambda *a, **k: None),
+    )
+    for epoch in (2, 4, 6, 8):
+        Trainer._plot(stub, epoch)
+    assert [a for a, _ in recorded] == [0.0, 1.0, 2.0, 0.0]
+    assert [b for _, b in recorded] == [10.0, 11.0, 10.0, 11.0]
