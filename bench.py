@@ -45,6 +45,11 @@ def main():
     p.add_argument("--vocoder", type=int, default=0,
                    help="1: decode converted mels with MelGAN in-loop "
                         "(BASELINE config 5)")
+    p.add_argument("--batch1", type=int, default=1,
+                   help="also measure the reference's canonical training "
+                        "config (batch 1, 64 frames, scan-epoch execution; "
+                        "bash_scripts/mask_cyclegan_train.sh:16,18) and "
+                        "report it as batch1_scan_ms_per_it")
     p.add_argument("--platform", type=str, default=None,
                    help="override platform (e.g. cpu for smoke)")
     args = p.parse_args()
@@ -158,6 +163,41 @@ def main():
     dt = (time.perf_counter() - t0) / args.steps
     assert np.isfinite(final)
 
+    # Canonical reference config (batch 1, 64 frames, ~81 iters/epoch) on
+    # the production scan-epoch path — the config the reference actually
+    # trains; per-step host dispatch would dominate it without scan.
+    batch1 = {}
+    if args.batch1:
+        from maskcyclegan_vc_tpu.data.dataset import MelBank
+        from maskcyclegan_vc_tpu.train.step import make_scan_epoch
+
+        steps_per_epoch = 81
+        cfg1 = TrainConfig(
+            schedule=ScheduleConfig(
+                num_epochs=6172, n_samples=81, batch_size=1,
+                decay_after=200_000, stop_identity_after=10_000),
+            num_frames=64,
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
+            fused_norms=bool(args.fused_norms),
+        )
+        st1 = create_train_state(cfg1, seed=0)
+        bank = MelBank.from_list(
+            [rs.randn(80, 200).astype(np.float32) for _ in range(81)])
+        epoch_fn = make_scan_epoch(cfg1, True, steps_per_epoch, 1, 64, 25)
+        key = jax.random.PRNGKey(0)
+        st1, stacked = epoch_fn(st1, bank, bank, key)  # compile + warmup
+        float(stacked["g_loss"][-1])
+        n_epochs = 3
+        t0 = time.perf_counter()
+        for _ in range(n_epochs):
+            st1, stacked = epoch_fn(st1, bank, bank, key)
+        assert np.isfinite(float(stacked["g_loss"][-1]))
+        dt1 = (time.perf_counter() - t0) / (n_epochs * steps_per_epoch)
+        batch1 = {
+            "batch1_scan_ms_per_it": round(dt1 * 1e3, 2),
+            "batch1_audio_s_per_s": round((64 * hop / sr) / dt1, 2),
+        }
+
     value = audio_seconds_per_step / dt
     peak = peak_flops_per_s(jax.devices()[0])
     result = {
@@ -172,10 +212,14 @@ def main():
         "dtype": args.dtype,
         "device": str(jax.devices()[0]),
         # Speed-of-light accounting (XLA cost model): achieved TFLOP/s and
-        # model FLOPs utilization vs the chip's bf16 peak.
+        # model FLOPs utilization vs the chip's bf16 peak. MFU is only
+        # meaningful against the bf16 peak, so it is omitted for float32
+        # runs (whose MXU passes have a different, precision-dependent peak).
         "step_tflop": round(flops / 1e12, 2),
         "tflops_per_s": round(flops / dt / 1e12, 1) if flops else None,
-        "mfu": round(flops / dt / peak, 3) if flops and peak else None,
+        "mfu": round(flops / dt / peak, 3)
+               if flops and peak and args.dtype == "bfloat16" else None,
+        **batch1,
     }
     print(json.dumps(result))
 

@@ -40,20 +40,44 @@ def summarize(trace_dir, top):
     }
     tot = collections.Counter()
     cnt = collections.Counter()
+    flops = collections.Counter()
+    bytes_ = collections.Counter()
+    cat = {}
+    src = {}
+    by_cat = collections.Counter()
     wall = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        dur = e.get("dur", 0)
         name = e.get("name", "?")
+        args = e.get("args") or {}
+        # Skip step markers / whole-module aggregates (they double-count).
+        if name.startswith("jit_") or name.isdigit() or "hlo_category" not in args:
+            continue
+        dur = e.get("dur", 0)
         tot[name] += dur
         cnt[name] += 1
+        flops[name] += float(args.get("model_flops", 0) or 0)
+        bytes_[name] += float(args.get("bytes_accessed", 0) or 0)
+        cat[name] = args.get("hlo_category", "?")
+        stack = args.get("source_stack", "")
+        src[name] = (stack.splitlines()[:2] or [args.get("source", "?")])
+        by_cat[cat[name]] += dur
         wall += dur
     print(f"trace: {path}")
-    print(f"total device-op time: {wall/1e3:.2f} ms across {sum(cnt.values())} events")
-    print(f"{'us_total':>12} {'count':>6} {'us_avg':>10}  name")
+    print(f"total device-op time: {wall/1e3:.2f} ms across {sum(cnt.values())} "
+          "HLO-op events (step markers excluded)")
+    print("\nby hlo_category:")
+    for c, us in by_cat.most_common():
+        print(f"  {us/1e3:>9.2f} ms  {100*us/wall:>5.1f}%  {c}")
+    print(f"\n{'us_total':>10} {'count':>6} {'us_avg':>9} {'TF/s':>6} "
+          f"{'GB/s':>6}  op / category / source")
     for name, us in tot.most_common(top):
-        print(f"{us:>12.0f} {cnt[name]:>6} {us/cnt[name]:>10.1f}  {name[:120]}")
+        tfs = flops[name] / (us * 1e-6) / 1e12 if us else 0.0
+        gbs = bytes_[name] / (us * 1e-6) / 1e9 if us else 0.0
+        where = "; ".join(s.strip() for s in src.get(name, []))
+        print(f"{us:>10.0f} {cnt[name]:>6} {us/cnt[name]:>9.1f} {tfs:>6.1f} "
+              f"{gbs:>6.0f}  {name} [{cat.get(name,'?')}] {where[:110]}")
 
 
 def main():
