@@ -55,35 +55,38 @@ def _pooled_stats(x_ref, C: int):
     """Per-post-shuffle-channel mean / rsqrt(var+eps), pooled over q.
 
     x_ref block (1, H, W, 4C) q-major. Returns mean, inv of shape (1, C).
+    One pass: E[x] and E[x^2] accumulate together (halves the VMEM
+    re-reads + f32 converts vs the two-pass mean/centered-var form; the
+    uncentered variance is computed in f32 on bf16 inputs whose values
+    are O(1) post-conv, so cancellation stays benign vs eps=1e-5).
     """
     _, H, W, C4 = x_ref.shape
     hc = _hchunk(H, W, C4)
     n = H * W * 4
     tot = jnp.zeros((1, C4), jnp.float32)
+    tot2 = jnp.zeros((1, C4), jnp.float32)
     for i in range(H // hc):
         xf = x_ref[0, i * hc:(i + 1) * hc, :, :].astype(jnp.float32)
         tot = tot + jnp.sum(xf, axis=(0, 1)).reshape(1, C4)
+        tot2 = tot2 + jnp.sum(xf * xf, axis=(0, 1)).reshape(1, C4)
     mean = (tot[:, 0:C] + tot[:, C:2 * C] + tot[:, 2 * C:3 * C]
             + tot[:, 3 * C:4 * C]) / n
-    mean4 = jnp.concatenate([mean] * 4, axis=-1)
-    sq = jnp.zeros((1, C4), jnp.float32)
-    for i in range(H // hc):
-        d = x_ref[0, i * hc:(i + 1) * hc, :, :].astype(jnp.float32) - mean4
-        sq = sq + jnp.sum(d * d, axis=(0, 1)).reshape(1, C4)
-    var = (sq[:, 0:C] + sq[:, C:2 * C] + sq[:, 2 * C:3 * C]
-           + sq[:, 3 * C:4 * C]) / n
+    ex2 = (tot2[:, 0:C] + tot2[:, C:2 * C] + tot2[:, 2 * C:3 * C]
+           + tot2[:, 3 * C:4 * C]) / n
+    var = jnp.maximum(ex2 - mean * mean, 0.0)
     return mean, jax.lax.rsqrt(var + EPS)
 
 
 def _shuffle_chunk(z, hc: int, W: int, C: int):
-    """(hc, W, 4C) q-major -> (2hc, 2W, C), torch PixelShuffle(2) order."""
-    parts = [z[:, :, q * C:(q + 1) * C] for q in range(4)]
-    rows = []
-    for i in range(2):
-        r = jnp.stack([parts[2 * i], parts[2 * i + 1]], axis=2)  # (hc,W,2,C)
-        rows.append(r.reshape(hc, 2 * W, C))
-    out = jnp.stack(rows, axis=1)  # (hc, 2, 2W, C)
-    return out.reshape(2 * hc, 2 * W, C)
+    """(hc, W, 4C) q-major -> (2hc, 2W, C), torch PixelShuffle(2) order.
+
+    Row-major reshape (W, 2C) -> (2W, C) interleaves the two lane halves
+    onto even/odd columns directly (the same identity the inverse kernel
+    uses in reverse), so each output row pair needs one lane-split and
+    one row interleave — no per-q stacking."""
+    zA = z[:, :, :2 * C].reshape(hc, 2 * W, C)  # rows 2h   (q = 0, 1)
+    zB = z[:, :, 2 * C:].reshape(hc, 2 * W, C)  # rows 2h+1 (q = 2, 3)
+    return jnp.stack([zA, zB], axis=1).reshape(2 * hc, 2 * W, C)
 
 
 def _ps_in_swish_kernel(x_ref, s_ref, b_ref, y_ref):
