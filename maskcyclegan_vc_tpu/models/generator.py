@@ -44,6 +44,7 @@ from maskcyclegan_vc_tpu.ops.layers import (
     _NamedConvParams,
     fused_in_glu,
     fused_in_swish,
+    instance_norm_apply,
     paired_conv,
     pixel_shuffle_nhwc,
     swish,
@@ -183,7 +184,15 @@ class Generator(nn.Module):
         kk = jnp.concatenate([k_a, k_g1], axis=-1)
         bb = jnp.concatenate([b_a, b_g1])
         hh, kk, bb = _fdt.promote_dtype(h, kk, bb, dtype=self.dtype)
-        ag = tap_conv2d(hh, kk, bb, (2, 7), precision=self.precision)
+        from maskcyclegan_vc_tpu.ops.tap_conv import use_tap_conv
+
+        if use_tap_conv(2, R, (1, 1)):
+            ag = tap_conv2d(hh, kk, bb, (2, 7), precision=self.precision)
+        else:
+            ag = jax.lax.conv_general_dilated(
+                hh, kk, (1, 1), [(2, 2), (7, 7)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=self.precision) + bb
         a, g = ag[..., : R // 2], ag[..., R // 2:]
         h = a * jax.nn.sigmoid(g)
         if tm0 is not None:
@@ -195,14 +204,26 @@ class Generator(nn.Module):
         h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample2",
                         fused=self.fused_norms, **conv_kw)(h, tm2)
 
-        # 2D -> 1D, channel-major flatten matching torch
-        # ``view(B, C*H, W)`` (model.py:249-251): new channel = c*H + h.
+        # 2D -> 1D. Torch flattens channel-major (``view(B, C*H, W)``,
+        # model.py:249-251: flat index c*H2 + h). Flattening h-major
+        # (h*R + c) instead keeps the channel dim on TPU lanes, so both
+        # the flatten here and the inverse below are sublane-only
+        # (H2, W2) transposes instead of lane-crossing relayouts
+        # (measured ~8x cheaper per pass, round-3 profile); the k=1
+        # convs' torch-ordered weight rows/cols and the 5120-wide IN
+        # affine are permuted to match, so the computation and every
+        # checkpoint stay torch-exact.
         _, H2, W2, _ = h.shape
-        h = h.transpose(0, 2, 3, 1).reshape(B, W2, R * H2)
+        h = h.transpose(0, 2, 1, 3).reshape(B, W2, H2 * R)
 
         tm2_1d = tm2[:, 0] if tm2 is not None else None  # (B, W2, 1)
 
-        h = Conv1dT(R, 1, 1, 0, name="conv2dto1dLayer", **conv_kw)(h)
+        k1, b1 = _NamedConvParams((1, flat, R), flat, self.param_dtype,
+                                  name="conv2dto1dLayer")()
+        k1 = k1[0].reshape(R, H2, R).transpose(1, 0, 2).reshape(flat, R)
+        h, k1, b1 = _fdt.promote_dtype(h, k1, b1, dtype=self.dtype)
+        h = jax.lax.dot_general(h, k1, (((2,), (0,)), ((), ())),
+                                precision=self.precision) + b1
         h = InstanceNorm(R, dtype=self.dtype, param_dtype=self.param_dtype,
                          fused=self.fused_norms,
                          name="conv2dto1dLayer_tfan")(h, tm2_1d)
@@ -213,13 +234,25 @@ class Generator(nn.Module):
                               precision=self.precision,
                               fused_norms=self.fused_norms)(h, tm2_1d)
 
-        h = Conv1dT(flat, 1, 1, 0, name="conv1dto2dLayer", **conv_kw)(h)
-        h = InstanceNorm(flat, dtype=self.dtype, param_dtype=self.param_dtype,
-                         fused=self.fused_norms,
-                         name="conv1dto2dLayer_tfan")(h, tm2_1d)
+        k2, b2 = _NamedConvParams((1, R, flat), R, self.param_dtype,
+                                  name="conv1dto2dLayer")()
+        k2 = k2[0].reshape(R, R, H2).transpose(0, 2, 1).reshape(R, flat)
+        b2 = b2.reshape(R, H2).transpose(1, 0).reshape(flat)
+        tfan2 = InstanceNorm(flat, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="conv1dto2dLayer_tfan")
+        s2, sb2 = tfan2.affine()
+        s2 = s2.reshape(R, H2).transpose(1, 0).reshape(flat)
+        sb2 = sb2.reshape(R, H2).transpose(1, 0).reshape(flat)
+        h, k2, b2 = _fdt.promote_dtype(h, k2, b2, dtype=self.dtype)
+        h = jax.lax.dot_general(h, k2, (((2,), (0,)), ((), ())),
+                                precision=self.precision) + b2
+        h = instance_norm_apply(h, s2, sb2, time_mask=tm2_1d,
+                                fused=self.fused_norms, dtype=self.dtype)
 
-        # 1D -> 2D inverse reshape (model.py:270-271: view(B, R, M/4, -1)).
-        h = h.reshape(B, W2, R, H2).transpose(0, 3, 1, 2)  # (B, H2, W2, R)
+        # 1D -> 2D inverse (model.py:270-271: view(B, R, M/4, -1)) — with
+        # the h-major flat index this is again a sublane-only transpose.
+        h = h.reshape(B, W2, H2, R).transpose(0, 2, 1, 3)  # (B, H2, W2, R)
 
         # Upsampling: conv -> pixel shuffle -> IN -> swish (model.py:226-237).
         # Fused path: the conv's output channels are weight-permuted to

@@ -245,29 +245,38 @@ class InstanceNorm(nn.Module):
         return self.scale, self.bias
 
     def __call__(self, x, time_mask=None):
-        scale, bias = self.scale, self.bias
-        if self.fused and time_mask is None:
-            return fused_in(x, scale, bias).astype(self.dtype or x.dtype)
-        axes = tuple(range(1, x.ndim - 1))
-        if time_mask is None:
-            # f32-accumulating reductions on the (possibly bf16) input —
-            # no materialized f32 copy of the activation.
-            mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-            var = jnp.mean(
-                jnp.square(x.astype(jnp.float32) - mean),
-                axis=axes, keepdims=True,
-            )
-        else:
-            mean, var = _masked_moments(x, time_mask, axes)
-        inv = jax.lax.rsqrt(var + self.eps)
-        # Fold affine into one multiply-add: y = x*(inv*scale) + (bias - mean*inv*scale)
-        a = inv * scale.astype(jnp.float32)
-        b = bias.astype(jnp.float32) - mean * a
-        out_dtype = self.dtype or x.dtype
-        y = (x.astype(jnp.float32) * a + b).astype(out_dtype)
-        if time_mask is not None:
-            y = y * time_mask.astype(out_dtype)
-        return y
+        return instance_norm_apply(
+            x, self.scale, self.bias, time_mask=time_mask, fused=self.fused,
+            dtype=self.dtype, eps=self.eps)
+
+
+def instance_norm_apply(x, scale, bias, time_mask=None, fused=False,
+                        dtype=None, eps=1e-5):
+    """Functional affine instance norm (the ``InstanceNorm`` math with
+    explicit affine params — used directly when the caller applies a
+    channel permutation to torch-ordered scale/bias)."""
+    if fused and time_mask is None:
+        return fused_in(x, scale, bias).astype(dtype or x.dtype)
+    axes = tuple(range(1, x.ndim - 1))
+    if time_mask is None:
+        # f32-accumulating reductions on the (possibly bf16) input —
+        # no materialized f32 copy of the activation.
+        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(x.astype(jnp.float32) - mean),
+            axis=axes, keepdims=True,
+        )
+    else:
+        mean, var = _masked_moments(x, time_mask, axes)
+    inv = jax.lax.rsqrt(var + eps)
+    # Fold affine into one multiply-add: y = x*(inv*scale) + (bias - mean*inv*scale)
+    a = inv * scale.astype(jnp.float32)
+    b = bias.astype(jnp.float32) - mean * a
+    out_dtype = dtype or x.dtype
+    y = (x.astype(jnp.float32) * a + b).astype(out_dtype)
+    if time_mask is not None:
+        y = y * time_mask.astype(out_dtype)
+    return y
 
 
 class _NamedConvParams(nn.Module):

@@ -40,6 +40,10 @@ from jax import lax
 
 def use_tap_conv(in_ch: int, out_ch: int, strides: Tuple[int, int]) -> bool:
     """Auto-rule: tap formulation only helps MXU-starved stride-1 convs."""
+    import os
+
+    if os.environ.get("MASKVC_NO_TAP"):  # A/B escape hatch for benchmarks
+        return False
     return strides == (1, 1) and (in_ch <= 4 or out_ch <= 4)
 
 
