@@ -40,9 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-5
 
 
-def _hchunk(H: int, W: int, C4: int) -> int:
-    """Largest divisor of H with an f32 (hc, W, C4) chunk under ~1 MB."""
-    cap = max(1, (1 << 20) // (4 * W * C4))
+def _hchunk(H: int, W: int, C4: int, cap_bytes: int = 1 << 20) -> int:
+    """Largest divisor of H with an f32 (hc, W, C4) chunk under the cap."""
+    cap = max(1, cap_bytes // (4 * W * C4))
     if H <= cap:
         return H
     for hc in range(cap, 0, -1):
@@ -165,6 +165,128 @@ def inverse_pixel_shuffle_q_major(dy, interpret=False):
     )(dy)
 
 
+def _inv_chunk(dy, hc: int, W: int, C: int):
+    """(2hc, 2W, C) shuffled rows -> (hc, W, 4C) q-major (inverse of
+    ``_shuffle_chunk`` via the same lane-split reshape identity)."""
+    d = dy.reshape(hc, 2, 2 * W, C)
+    return jnp.concatenate(
+        [d[:, 0].reshape(hc, W, 2 * C), d[:, 1].reshape(hc, W, 2 * C)],
+        axis=-1)
+
+
+def _sis_bwd_kernel(x_hbm, dy_hbm, s_ref, b_ref, dx_ref, dsc_ref, dbi_ref,
+                    xs_ref, dys_ref, sem):
+    """Whole IN+swish+shuffle backward for one sample, fused.
+
+    Reads x (q-major) and the SHUFFLED cotangent dy once from HBM into
+    single-buffered VMEM scratches, recomputes stats/xhat/z per chunk,
+    and emits dx plus per-sample dscale/dbias partials — replacing the
+    inverse-shuffle custom call + several full-size XLA f32 passes."""
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(x_hbm.at[b], xs_ref, sem)
+    cp.start()
+    cp.wait()
+    cp = pltpu.make_async_copy(dy_hbm.at[b], dys_ref, sem)
+    cp.start()
+    cp.wait()
+
+    H, W, C4 = xs_ref.shape
+    C = C4 // 4
+    n = H * W * 4
+    # Smaller chunks than forward: both whole-sample scratches (x, dy)
+    # are resident, so the f32 temporaries must stay lean.
+    hc = _hchunk(H, W, C4, cap_bytes=1 << 18)
+
+    # Pass 1: pooled mean / inv (recomputed; x is resident in VMEM).
+    tot = jnp.zeros((1, C4), jnp.float32)
+    tot2 = jnp.zeros((1, C4), jnp.float32)
+    for i in range(H // hc):
+        xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
+        tot = tot + jnp.sum(xf, axis=(0, 1)).reshape(1, C4)
+        tot2 = tot2 + jnp.sum(xf * xf, axis=(0, 1)).reshape(1, C4)
+
+    def pool(t):
+        return (t[:, 0:C] + t[:, C:2 * C] + t[:, 2 * C:3 * C]
+                + t[:, 3 * C:4 * C])
+
+    mean = pool(tot) / n
+    var = jnp.maximum(pool(tot2) / n - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + EPS)
+    scale = s_ref[0].astype(jnp.float32)
+    bias = b_ref[0].astype(jnp.float32)
+
+    def c4(t):
+        return jnp.concatenate([t] * 4, axis=-1)
+
+    mean4, inv4 = c4(mean), c4(inv)
+    scale4, bias4 = c4(scale.reshape(1, C)), c4(bias.reshape(1, C))
+
+    # Pass 2: reductions sum(dz), sum(dz * xhat) (q-pooled).
+    sdz = jnp.zeros((1, C4), jnp.float32)
+    sdzx = jnp.zeros((1, C4), jnp.float32)
+    for i in range(H // hc):
+        xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
+        xhat = (xf - mean4) * inv4
+        z = xhat * scale4 + bias4
+        s = jax.nn.sigmoid(z)
+        dyq = _inv_chunk(dys_ref[2 * i * hc:2 * (i + 1) * hc], hc, W, C)
+        dz = dyq.astype(jnp.float32) * (s + z * s * (1.0 - s))
+        sdz = sdz + jnp.sum(dz, axis=(0, 1)).reshape(1, C4)
+        sdzx = sdzx + jnp.sum(dz * xhat, axis=(0, 1)).reshape(1, C4)
+    dbi_ref[0] = pool(sdz)
+    dsc_ref[0] = pool(sdzx)
+    mdz4 = c4(pool(sdz) / n)
+    mdzx4 = c4(pool(sdzx) / n)
+    a4 = c4(scale.reshape(1, C)) * inv4
+
+    # Pass 3: dx.
+    for i in range(H // hc):
+        xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
+        xhat = (xf - mean4) * inv4
+        z = xhat * scale4 + bias4
+        s = jax.nn.sigmoid(z)
+        dyq = _inv_chunk(dys_ref[2 * i * hc:2 * (i + 1) * hc], hc, W, C)
+        dz = dyq.astype(jnp.float32) * (s + z * s * (1.0 - s))
+        dx = a4 * (dz - mdz4 - xhat * mdzx4)
+        dx_ref[0, i * hc:(i + 1) * hc] = dx.astype(dx_ref.dtype)
+
+
+def _sis_bwd_pallas(x, dy, scale, bias, interpret):
+    B, H, W, C4 = x.shape
+    C = C4 // 4
+    dx, dsc, dbi = pl.pallas_call(
+        _sis_bwd_kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, H, W, C4), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C4), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H, W, C4), x.dtype),
+            pltpu.VMEM((2 * H, 2 * W, C), dy.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, dy, scale.reshape(1, C), bias.reshape(1, C))
+    return (dx, dsc.sum((0, 1)).astype(scale.dtype),
+            dbi.sum((0, 1)).astype(bias.dtype))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def subpixel_in_swish(x, scale, bias, interpret=False):
     """swish(IN(pixel_shuffle(x))) with x (B,H,W,4C) q-major -> (B,2H,2W,C).
@@ -197,32 +319,9 @@ def _sis_fwd(x, scale, bias, interpret):
 
 def _sis_bwd(interpret, res, dy):
     x, scale, bias = res
-    B, H, W, C4 = x.shape
-    C = C4 // 4
-
-    # Inverse-shuffle the cotangent back to the q-major layout (Pallas,
-    # pure data movement), then do the IN+swish backward in XLA with
-    # q-pooled statistics.
-    dyq = inverse_pixel_shuffle_q_major(dy, interpret)  # (B,H,W,4C)
-
-    xf = x.astype(jnp.float32).reshape(B, H * W, 4, C)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
-    inv = jax.lax.rsqrt(var + EPS)
-    xhat = (xf - mean) * inv  # (B, S, 4, C)
-
-    z = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    s = jax.nn.sigmoid(z)
-    dz = dyq.astype(jnp.float32).reshape(B, H * W, 4, C) * (
-        s + z * s * (1.0 - s))
-
-    dscale = jnp.sum(dz * xhat, axis=(0, 1, 2))
-    dbias = jnp.sum(dz, axis=(0, 1, 2))
-    a = scale.astype(jnp.float32) * inv
-    dx = a * (dz - jnp.mean(dz, axis=(1, 2), keepdims=True)
-              - xhat * jnp.mean(dz * xhat, axis=(1, 2), keepdims=True))
-    return (dx.reshape(B, H, W, C4).astype(x.dtype),
-            dscale.astype(scale.dtype), dbias.astype(bias.dtype))
+    # Fully-fused Pallas backward (inverse shuffle + IN/swish grads in
+    # one kernel — see _sis_bwd_kernel).
+    return _sis_bwd_pallas(x, dy, scale, bias, interpret)
 
 
 subpixel_in_swish.defvjp(_sis_fwd, _sis_bwd)
