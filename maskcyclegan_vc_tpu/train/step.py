@@ -35,22 +35,13 @@ def _l1(a, b):
     return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
-def make_train_step(cfg: TrainConfig, with_identity: bool = True):
-    """Build ``train_step(state, batch) -> (state, metrics)`` (pure, jittable).
+def make_loss_fns(cfg: TrainConfig, with_identity: bool = True):
+    """Build the G/D loss closures used by :func:`make_train_step`.
 
-    batch: {"real_A": (B,M,T), "mask_A": (B,M,T), "real_B": ..., "mask_B": ...}
-
-    ``with_identity`` statically includes/excludes the identity-loss
-    forwards. The identity cutoff is a fixed step threshold, so the
-    trainer compiles both variants and switches executables at the
-    boundary instead of carrying a ``lax.cond`` — a conditional is a
-    scheduling barrier XLA can't fuse or overlap across (measured ~64
-    ms/step wrapped in conds at BASELINE config 2), and after
-    ``stop_identity_after`` (~98% of the canonical 500k-step run) the
-    identity FLOPs vanish from the executable entirely. The
-    ``with_identity=True`` variant stays exact past the cutoff too
-    (terms are weighted by the scheduled lambda), so the switch is an
-    optimization, not a semantics change.
+    Returns ``(gen, disc, g_loss_fn, d_loss_fn)``. Exposed separately so
+    parity tests can take ``jax.grad`` of the exact production loss graph
+    (tests/test_dynamics_parity.py pins per-leaf gradients against the
+    torch reference at step 0).
     """
     gen, disc = build_models(cfg)
     sched = cfg.schedule
@@ -130,6 +121,28 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True):
         return total, {"d_loss_first": d_loss_A + d_loss_B,
                        "d_loss_second": d_loss_A2 + d_loss_B2}
 
+    return gen, disc, g_loss_fn, d_loss_fn
+
+
+def make_train_step(cfg: TrainConfig, with_identity: bool = True):
+    """Build ``train_step(state, batch) -> (state, metrics)`` (pure, jittable).
+
+    batch: {"real_A": (B,M,T), "mask_A": (B,M,T), "real_B": ..., "mask_B": ...}
+
+    ``with_identity`` statically includes/excludes the identity-loss
+    forwards. The identity cutoff is a fixed step threshold, so the
+    trainer compiles both variants and switches executables at the
+    boundary instead of carrying a ``lax.cond`` — a conditional is a
+    scheduling barrier XLA can't fuse or overlap across (measured ~64
+    ms/step wrapped in conds at BASELINE config 2), and after
+    ``stop_identity_after`` (~98% of the canonical 500k-step run) the
+    identity FLOPs vanish from the executable entirely. The
+    ``with_identity=True`` variant stays exact past the cutoff too
+    (terms are weighted by the scheduled lambda), so the switch is an
+    optimization, not a semantics change.
+    """
+    gen, disc, g_loss_fn, d_loss_fn = make_loss_fns(cfg, with_identity)
+    sched = cfg.schedule
     g_tx, d_tx = make_optimizers(cfg)
 
     def train_step(state: TrainState, batch: Dict[str, Any]):

@@ -30,10 +30,28 @@ def ref_generator_forward(g, x, mask):
     return g.lastConvLayer(h).squeeze(1)
 
 
+def _grad_state_dict(module):
+    """{param_name: grad ndarray} in state_dict key layout (grads transform
+    under the torch->flax layout mapping exactly like the weights, so the
+    io.torch_import mapping functions apply verbatim)."""
+    # remove_duplicate=False: the reference Generator registers upSample2's
+    # Sequential under TWO names (upsample() helper also assigns
+    # self.convLayer, model.py:225-237); dedup would drop the upSample2.*
+    # aliases that the state_dict (and our importer) use.
+    return {n: p.grad.detach().clone().numpy()
+            for n, p in module.named_parameters(remove_duplicate=False)
+            if p.grad is not None}
+
+
 def torch_reference_step(models, opts, batch, lam_cycle=10.0, lam_id=5.0,
-                         gen_forward=None):
+                         gen_forward=None, grad_sink=None):
     """Literal re-execution of reference train.py:195-299 (detached D step
-    — detachment does not change final weights, SURVEY Appendix A.2)."""
+    — detachment does not change final weights, SURVEY Appendix A.2).
+
+    When ``grad_sink`` (a dict) is given, the post-backward gradients of
+    every model are stashed into it as state_dict-keyed numpy dicts under
+    keys gA2B/gB2A/dA/dB/dA2/dB2 — captured before the optimizer steps,
+    i.e. the exact d(loss)/d(params) of this iteration."""
     if gen_forward is None:
         gen_forward = lambda g, x, m: g(x, m)  # noqa: E731
     gA2B, gB2A, dA, dB, dA2, dB2 = models
@@ -67,6 +85,9 @@ def torch_reference_step(models, opts, batch, lam_cycle=10.0, lam_id=5.0,
     )
     g_opt.zero_grad(); d_opt.zero_grad()
     g_loss.backward()
+    if grad_sink is not None:
+        grad_sink["gA2B"] = _grad_state_dict(gA2B)
+        grad_sink["gB2A"] = _grad_state_dict(gB2A)
     g_opt.step()
 
     with torch.no_grad():
@@ -85,6 +106,9 @@ def torch_reference_step(models, opts, batch, lam_cycle=10.0, lam_id=5.0,
     d_loss = (d_loss_A + d_loss_B) / 2 + (d_loss_A2 + d_loss_B2) / 2
     g_opt.zero_grad(); d_opt.zero_grad()
     d_loss.backward()
+    if grad_sink is not None:
+        for k, m in (("dA", dA), ("dB", dB), ("dA2", dA2), ("dB2", dB2)):
+            grad_sink[k] = _grad_state_dict(m)
     d_opt.step()
     return float(g_loss), float(d_loss)
 
