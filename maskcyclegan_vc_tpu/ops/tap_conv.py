@@ -42,7 +42,9 @@ def use_tap_conv(in_ch: int, out_ch: int, strides: Tuple[int, int]) -> bool:
     """Auto-rule: tap formulation only helps MXU-starved stride-1 convs."""
     import os
 
-    if os.environ.get("MASKVC_NO_TAP"):  # A/B escape hatch for benchmarks
+    # A/B escape hatch for benchmarks; same off-values convention as
+    # MASKVC_REQUIRE_MULTIHOST (parallel/dist.py): '0'/''/'false' = unset.
+    if os.environ.get("MASKVC_NO_TAP", "0") not in ("0", "", "false"):
         return False
     return strides == (1, 1) and (in_ch <= 4 or out_ch <= 4)
 

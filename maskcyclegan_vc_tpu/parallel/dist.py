@@ -49,13 +49,18 @@ def initialize(coordinator_address: Optional[str] = None,
 
     if (coordinator_address, num_processes, process_id) == (None, None, None):
         # Fully-auto path: TPU pods / managed clusters auto-discover. A
-        # plain single-process run raises the known "coordinator_address
-        # should be defined" ValueError — the ONLY error treated as
-        # single-process; anything else propagates.
+        # plain single-process run raises "coordinator_address should be
+        # defined" — the ONLY failure treated as single-process; anything
+        # else propagates. Matched loosely (ValueError today, jax 0.9.0
+        # src/distributed.py; also accept a future RuntimeError rewrap
+        # and the "cluster environment" phrasing) so a JAX upgrade can't
+        # turn every plain single-host run into a startup crash.
         try:
             jax.distributed.initialize()
-        except ValueError as e:
-            if "coordinator_address" not in str(e):
+        except (ValueError, RuntimeError) as e:
+            msg = str(e)
+            if ("coordinator_address" not in msg
+                    and "cluster environment" not in msg):
                 raise
             if require_multiprocess:
                 raise RuntimeError(
