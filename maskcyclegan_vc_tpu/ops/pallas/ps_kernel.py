@@ -89,10 +89,14 @@ def _shuffle_chunk(z, hc: int, W: int, C: int):
     return jnp.stack([zA, zB], axis=1).reshape(2 * hc, 2 * W, C)
 
 
-def _ps_in_swish_kernel(x_ref, s_ref, b_ref, y_ref):
+def _ps_in_swish_kernel(x_ref, s_ref, b_ref, y_ref, mean_ref, inv_ref):
     _, H, W, C4 = x_ref.shape
     C = C4 // 4
     mean, inv = _pooled_stats(x_ref, C)
+    # Stats are emitted as residuals so the backward kernel never has to
+    # re-reduce x (kills a full pass over the sample there).
+    mean_ref[0] = mean
+    inv_ref[0] = inv
     a = inv * s_ref[0].astype(jnp.float32)
     b = b_ref[0].astype(jnp.float32) - mean * a
     a4 = jnp.concatenate([a] * 4, axis=-1)
@@ -174,86 +178,107 @@ def _inv_chunk(dy, hc: int, W: int, C: int):
         axis=-1)
 
 
-def _sis_bwd_kernel(x_hbm, dy_hbm, s_ref, b_ref, dx_ref, dsc_ref, dbi_ref,
-                    xs_ref, dys_ref, sem):
-    """Whole IN+swish+shuffle backward for one sample, fused.
+def _sis_bwd_kernel(x_hbm, dy_hbm, s_ref, b_ref, mean_ref, inv_ref,
+                    dx_ref, dsc_ref, dbi_ref, xs_ref, dyb_ref, sems):
+    """Whole IN+swish+shuffle backward for one sample, fused, two passes.
 
-    Reads x (q-major) and the SHUFFLED cotangent dy once from HBM into
-    single-buffered VMEM scratches, recomputes stats/xhat/z per chunk,
-    and emits dx plus per-sample dscale/dbias partials — replacing the
-    inverse-shuffle custom call + several full-size XLA f32 passes."""
+    The forward's pooled stats arrive as residuals (mean/inv), so no
+    stats re-reduction pass over x is needed. Pass A streams x and dy in
+    hc-row chunks, double-buffered against compute (chunk i+1 in flight
+    while chunk i is processed): it computes dz, PARKS dz in the dx
+    output buffer, and accumulates the q-pooled reductions. Pass B turns
+    the parked dz into dx with only cheap arithmetic (no sigmoid
+    recompute; x is resident in VMEM by then). In bf16 the parked dz is
+    rounded to bf16 — the same quantum as the bf16 output itself.
+    """
     b = pl.program_id(0)
-    cp = pltpu.make_async_copy(x_hbm.at[b], xs_ref, sem)
-    cp.start()
-    cp.wait()
-    cp = pltpu.make_async_copy(dy_hbm.at[b], dys_ref, sem)
-    cp.start()
-    cp.wait()
-
     H, W, C4 = xs_ref.shape
     C = C4 // 4
     n = H * W * 4
-    # Smaller chunks than forward: both whole-sample scratches (x, dy)
-    # are resident, so the f32 temporaries must stay lean.
     hc = _hchunk(H, W, C4, cap_bytes=1 << 18)
+    nchunks = H // hc
 
-    # Pass 1: pooled mean / inv (recomputed; x is resident in VMEM).
-    tot = jnp.zeros((1, C4), jnp.float32)
-    tot2 = jnp.zeros((1, C4), jnp.float32)
-    for i in range(H // hc):
-        xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
-        tot = tot + jnp.sum(xf, axis=(0, 1)).reshape(1, C4)
-        tot2 = tot2 + jnp.sum(xf * xf, axis=(0, 1)).reshape(1, C4)
+    def x_cp(i):
+        # x chunks land at their final offset in the resident scratch;
+        # alternating semaphores double-buffer the stream.
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * hc, hc)],
+            xs_ref.at[pl.ds(i * hc, hc)],
+            sems.at[i % 2],
+        )
+
+    def dy_cp(i):
+        # dy is only needed chunk-at-a-time (pass A), so it streams
+        # through a 2-slot buffer instead of a whole-sample scratch.
+        return pltpu.make_async_copy(
+            dy_hbm.at[b, pl.ds(2 * i * hc, 2 * hc)],
+            dyb_ref.at[i % 2],
+            sems.at[2 + i % 2],
+        )
+
+    x_cp(0).start()
+    dy_cp(0).start()
 
     def pool(t):
         return (t[:, 0:C] + t[:, C:2 * C] + t[:, 2 * C:3 * C]
                 + t[:, 3 * C:4 * C])
 
-    mean = pool(tot) / n
-    var = jnp.maximum(pool(tot2) / n - mean * mean, 0.0)
-    inv = jax.lax.rsqrt(var + EPS)
-    scale = s_ref[0].astype(jnp.float32)
-    bias = b_ref[0].astype(jnp.float32)
-
     def c4(t):
         return jnp.concatenate([t] * 4, axis=-1)
 
-    mean4, inv4 = c4(mean), c4(inv)
-    scale4, bias4 = c4(scale.reshape(1, C)), c4(bias.reshape(1, C))
+    mean = mean_ref[0]
+    inv = inv_ref[0]
+    scale = s_ref[0].astype(jnp.float32).reshape(1, C)
+    bias = b_ref[0].astype(jnp.float32).reshape(1, C)
+    # z = xhat*scale + bias folded to one FMA: z = x*zA + zB.
+    zA4 = c4(inv * scale)
+    zB4 = c4(bias - mean * inv * scale)
 
-    # Pass 2: reductions sum(dz), sum(dz * xhat) (q-pooled).
+    # Pass A: dz + reductions, overlapped with both input streams. xhat
+    # never materializes: sum(dz*xhat) = inv*(sum(dz*x) - mean*sum(dz)),
+    # so the loop only accumulates sum(dz) and sum(dz*x).
     sdz = jnp.zeros((1, C4), jnp.float32)
-    sdzx = jnp.zeros((1, C4), jnp.float32)
-    for i in range(H // hc):
+    sdzxf = jnp.zeros((1, C4), jnp.float32)
+    for i in range(nchunks):
+        if i + 1 < nchunks:
+            x_cp(i + 1).start()
+            dy_cp(i + 1).start()
+        x_cp(i).wait()
+        dy_cp(i).wait()
         xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
-        xhat = (xf - mean4) * inv4
-        z = xhat * scale4 + bias4
+        z = xf * zA4 + zB4
         s = jax.nn.sigmoid(z)
-        dyq = _inv_chunk(dys_ref[2 * i * hc:2 * (i + 1) * hc], hc, W, C)
+        dyq = _inv_chunk(dyb_ref[i % 2], hc, W, C)
         dz = dyq.astype(jnp.float32) * (s + z * s * (1.0 - s))
         sdz = sdz + jnp.sum(dz, axis=(0, 1)).reshape(1, C4)
-        sdzx = sdzx + jnp.sum(dz * xhat, axis=(0, 1)).reshape(1, C4)
-    dbi_ref[0] = pool(sdz)
-    dsc_ref[0] = pool(sdzx)
-    mdz4 = c4(pool(sdz) / n)
-    mdzx4 = c4(pool(sdzx) / n)
-    a4 = c4(scale.reshape(1, C)) * inv4
+        sdzxf = sdzxf + jnp.sum(dz * xf, axis=(0, 1)).reshape(1, C4)
+        dx_ref[0, i * hc:(i + 1) * hc] = dz.astype(dx_ref.dtype)
+    pool_sdz = pool(sdz)
+    dsc = inv * (pool(sdzxf) - mean * pool_sdz)
+    dbi_ref[0] = pool_sdz
+    dsc_ref[0] = dsc
 
-    # Pass 3: dx.
-    for i in range(H // hc):
+    # Pass B constants: dx = a*(dz - mean_dz - xhat*mean_dzx) rewritten
+    # as two FMAs dx = a4*t + cX4*x + c14 with per-channel constants.
+    a = scale * inv
+    mdz = pool_sdz / n
+    mdzx = dsc / n
+    a4 = c4(a)
+    cX4 = c4(-a * mdzx * inv)
+    c14 = c4(-a * mdz + a * mdzx * inv * mean)
+
+    # Pass B: dx from the parked dz — two FMAs, x resident in VMEM.
+    for i in range(nchunks):
         xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
-        xhat = (xf - mean4) * inv4
-        z = xhat * scale4 + bias4
-        s = jax.nn.sigmoid(z)
-        dyq = _inv_chunk(dys_ref[2 * i * hc:2 * (i + 1) * hc], hc, W, C)
-        dz = dyq.astype(jnp.float32) * (s + z * s * (1.0 - s))
-        dx = a4 * (dz - mdz4 - xhat * mdzx4)
+        t = dx_ref[0, i * hc:(i + 1) * hc].astype(jnp.float32)
+        dx = a4 * t + (cX4 * xf + c14)
         dx_ref[0, i * hc:(i + 1) * hc] = dx.astype(dx_ref.dtype)
 
 
-def _sis_bwd_pallas(x, dy, scale, bias, interpret):
+def _sis_bwd_pallas(x, dy, scale, bias, mean, inv, interpret):
     B, H, W, C4 = x.shape
     C = C4 // 4
+    hc = _hchunk(H, W, C4, cap_bytes=1 << 18)
     dx, dsc, dbi = pl.pallas_call(
         _sis_bwd_kernel,
         grid=(B,),
@@ -262,6 +287,10 @@ def _sis_bwd_pallas(x, dy, scale, bias, interpret):
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, H, W, C4), lambda b: (b, 0, 0, 0),
@@ -278,23 +307,63 @@ def _sis_bwd_pallas(x, dy, scale, bias, interpret):
         ),
         scratch_shapes=[
             pltpu.VMEM((H, W, C4), x.dtype),
-            pltpu.VMEM((2 * H, 2 * W, C), dy.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 2 * hc, 2 * W, C), dy.dtype),
+            # sems 0/1: x-chunk stream; sems 2/3: dy-chunk stream.
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(x, dy, scale.reshape(1, C), bias.reshape(1, C))
+    )(x, dy, scale.reshape(1, C), bias.reshape(1, C), mean, inv)
     return (dx, dsc.sum((0, 1)).astype(scale.dtype),
             dbi.sum((0, 1)).astype(bias.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def subpixel_in_swish(x, scale, bias, interpret=False):
-    """swish(IN(pixel_shuffle(x))) with x (B,H,W,4C) q-major -> (B,2H,2W,C).
+# VMEM is ~16 MB/core on v5e; the fused backward keeps a whole-sample x
+# scratch resident plus a 2-slot dy chunk buffer and a double-buffered dx
+# output block. Past this budget (a large --num_frames at inference-scale
+# T) the Pallas kernel would fail AT COMPILE TIME far from the config
+# knob, so fall back to the XLA composition instead (ADVICE r3:
+# ps_kernel.py:264).
+_BWD_VMEM_BUDGET = 12 * (1 << 20)
 
-    IN uses torch InstanceNorm2d numerics on the POST-shuffle tensor
-    (per-(sample, channel) biased stats, eps 1e-5, affine) — computed
-    pre-shuffle by pooling each channel's 4 sub-positions.
-    """
+
+def _sis_bwd_vmem_bytes(x, dy):
+    B, H, W, C4 = x.shape
+    itemsize = jnp.dtype(x.dtype).itemsize
+    x_bytes = H * W * C4 * itemsize
+    hc = _hchunk(H, W, C4, cap_bytes=1 << 18)
+    dyb_bytes = 2 * (2 * hc) * dy.shape[2] * dy.shape[3] * jnp.dtype(
+        dy.dtype).itemsize
+    return x_bytes + dyb_bytes + 2 * x_bytes  # x scratch + dy slots + dx blocks
+
+
+def _sis_bwd_xla(x, dy, scale, bias, interpret):
+    """XLA-composed backward (inverse-shuffle Pallas kernel + jnp math):
+    the fallback when the fused kernel's scratches exceed VMEM."""
+    B, H, W, C4 = x.shape
+    C = C4 // 4
+    dy_q = inverse_pixel_shuffle_q_major(dy, interpret)  # (B, H, W, 4C)
+    xf = x.astype(jnp.float32).reshape(B, H * W * 4, C)
+    n = H * W * 4
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=1, keepdims=True)
+                      - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + EPS)
+    xhat = (xf - mean) * inv
+    sc = scale.astype(jnp.float32).reshape(1, 1, C)
+    z = xhat * sc + bias.astype(jnp.float32).reshape(1, 1, C)
+    s = jax.nn.sigmoid(z)
+    dz = dy_q.astype(jnp.float32).reshape(B, n, C) * (s + z * s * (1.0 - s))
+    sdz = jnp.sum(dz, axis=1, keepdims=True)
+    sdzx = jnp.sum(dz * xhat, axis=1, keepdims=True)
+    dx = (sc * inv) * (dz - sdz / n - xhat * sdzx / n)
+    return (dx.reshape(B, H, W, C4).astype(x.dtype),
+            sdzx.sum(axis=(0, 1)).astype(scale.dtype),
+            sdz.sum(axis=(0, 1)).astype(bias.dtype))
+
+
+def _sis_fwd_impl(x, scale, bias, interpret):
+    """Forward pallas_call; returns (y, mean, inv) — the stats double as
+    backward residuals."""
     B, H, W, C4 = x.shape
     C = C4 // 4
     return pl.pallas_call(
@@ -306,22 +375,46 @@ def subpixel_in_swish(x, scale, bias, interpret=False):
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2 * H, 2 * W, C), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2 * H, 2 * W, C), x.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 2 * H, 2 * W, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2 * H, 2 * W, C), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ),
         interpret=interpret,
     )(x, scale.reshape(1, C), bias.reshape(1, C))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def subpixel_in_swish(x, scale, bias, interpret=False):
+    """swish(IN(pixel_shuffle(x))) with x (B,H,W,4C) q-major -> (B,2H,2W,C).
+
+    IN uses torch InstanceNorm2d numerics on the POST-shuffle tensor
+    (per-(sample, channel) biased stats, eps 1e-5, affine) — computed
+    pre-shuffle by pooling each channel's 4 sub-positions.
+    """
+    return _sis_fwd_impl(x, scale, bias, interpret)[0]
+
+
 def _sis_fwd(x, scale, bias, interpret):
-    return subpixel_in_swish(x, scale, bias, interpret), (x, scale, bias)
+    y, mean, inv = _sis_fwd_impl(x, scale, bias, interpret)
+    return y, (x, scale, bias, mean, inv)
 
 
 def _sis_bwd(interpret, res, dy):
-    x, scale, bias = res
+    x, scale, bias, mean, inv = res
+    if _sis_bwd_vmem_bytes(x, dy) > _BWD_VMEM_BUDGET:
+        return _sis_bwd_xla(x, dy, scale, bias, interpret)
     # Fully-fused Pallas backward (inverse shuffle + IN/swish grads in
     # one kernel — see _sis_bwd_kernel).
-    return _sis_bwd_pallas(x, dy, scale, bias, interpret)
+    return _sis_bwd_pallas(x, dy, scale, bias, mean, inv, interpret)
 
 
 subpixel_in_swish.defvjp(_sis_fwd, _sis_bwd)

@@ -95,3 +95,40 @@ def test_fused_grads_match_xla_path():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gr[2]),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_bwd_xla_fallback_matches_pallas():
+    """The VMEM-budget fallback (_sis_bwd_xla) must be grad-identical to
+    the fused Pallas backward (ADVICE r3: oversized --num_frames must not
+    hit a Mosaic compile error)."""
+    from maskcyclegan_vc_tpu.ops.pallas import ps_kernel
+
+    rs = np.random.RandomState(4)
+    C = 8
+    x = jnp.asarray(rs.randn(2, 4, 6, 4 * C), jnp.float32)
+    scale = jnp.asarray(rs.rand(C) + 0.5, jnp.float32)
+    bias = jnp.asarray(rs.randn(C), jnp.float32)
+    dy = jnp.asarray(rs.randn(2, 8, 12, C), jnp.float32)
+
+    got = ps_kernel._sis_bwd_xla(x, dy, scale, bias, True)
+    _, mean, inv = ps_kernel._sis_fwd_impl(x, scale, bias, True)
+    want = ps_kernel._sis_bwd_pallas(x, dy, scale, bias, mean, inv, True)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_bwd_budget_dispatch():
+    """Oversized inputs route to the XLA backward instead of the fused
+    kernel whose scratches would blow VMEM."""
+    from maskcyclegan_vc_tpu.ops.pallas import ps_kernel
+
+    small = jnp.zeros((1, 4, 6, 32), jnp.bfloat16)
+    small_dy = jnp.zeros((1, 8, 12, 8), jnp.bfloat16)
+    assert ps_kernel._sis_bwd_vmem_bytes(
+        small, small_dy) <= ps_kernel._BWD_VMEM_BUDGET
+    # up2-stage shapes at an extreme inference bucket (T=8192 frames).
+    big = jnp.zeros((1, 40, 2048, 512), jnp.bfloat16)
+    big_dy = jnp.zeros((1, 80, 4096, 128), jnp.bfloat16)
+    assert ps_kernel._sis_bwd_vmem_bytes(
+        big, big_dy) > ps_kernel._BWD_VMEM_BUDGET
