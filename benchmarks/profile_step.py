@@ -45,6 +45,8 @@ def summarize(trace_dir, top):
     cat = {}
     src = {}
     by_cat = collections.Counter()
+    cat_flops = collections.Counter()
+    cat_bytes = collections.Counter()
     wall = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -63,13 +65,22 @@ def summarize(trace_dir, top):
         stack = args.get("source_stack", "")
         src[name] = (stack.splitlines()[:2] or [args.get("source", "?")])
         by_cat[cat[name]] += dur
+        cat_flops[cat[name]] += float(args.get("model_flops", 0) or 0)
+        cat_bytes[cat[name]] += float(args.get("bytes_accessed", 0) or 0)
         wall += dur
     print(f"trace: {path}")
     print(f"total device-op time: {wall/1e3:.2f} ms across {sum(cnt.values())} "
           "HLO-op events (step markers excluded)")
-    print("\nby hlo_category:")
+    # v5e roofline constants for %-of-peak accounting (bf16 MXU / HBM).
+    PEAK_TFS, PEAK_GBS = 197.0, 819.0
+    print("\nby hlo_category (TF/s and GB/s aggregate; % of v5e peak "
+          f"{PEAK_TFS:.0f} TF/s | {PEAK_GBS:.0f} GB/s):")
     for c, us in by_cat.most_common():
-        print(f"  {us/1e3:>9.2f} ms  {100*us/wall:>5.1f}%  {c}")
+        tfs = cat_flops[c] / (us * 1e-6) / 1e12 if us else 0.0
+        gbs = cat_bytes[c] / (us * 1e-6) / 1e9 if us else 0.0
+        print(f"  {us/1e3:>9.2f} ms  {100*us/wall:>5.1f}%  "
+              f"{tfs:>6.1f} TF/s ({100*tfs/PEAK_TFS:>4.1f}%)  "
+              f"{gbs:>5.0f} GB/s ({100*gbs/PEAK_GBS:>4.1f}%)  {c}")
     print(f"\n{'us_total':>10} {'count':>6} {'us_avg':>9} {'TF/s':>6} "
           f"{'GB/s':>6}  op / category / source")
     for name, us in tot.most_common(top):
@@ -87,6 +98,10 @@ def main():
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--fused_norms", type=int, default=1)
+    p.add_argument("--scan", action="store_true",
+                   help="profile the canonical batch-1 scan-epoch program "
+                        "(bench.py's batch1_scan_ms_per_it config) instead "
+                        "of the batch-32 jit step")
     p.add_argument("--trace_dir", default="/tmp/jax_trace_step")
     p.add_argument("--summarize_only", action="store_true")
     args = p.parse_args()
@@ -108,6 +123,38 @@ def main():
     from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
     from maskcyclegan_vc_tpu.train.step import make_jit_train_step
 
+    rs = np.random.RandomState(0)
+
+    if args.scan:
+        # Canonical reference config: batch 1, 64 frames, 81-step epochs
+        # as ONE lax.scan program (mirrors bench.py's batch1 section).
+        from maskcyclegan_vc_tpu.data.dataset import MelBank
+        from maskcyclegan_vc_tpu.train.step import make_scan_epoch
+
+        steps_per_epoch = 81
+        cfg1 = TrainConfig(
+            schedule=ScheduleConfig(
+                num_epochs=6172, n_samples=81, batch_size=1,
+                decay_after=200_000, stop_identity_after=10_000),
+            num_frames=64,
+            dtype=jnp.bfloat16,
+            fused_norms=bool(args.fused_norms),
+        )
+        st1 = create_train_state(cfg1, seed=0)
+        bank = MelBank.from_list(
+            [rs.randn(80, 200).astype(np.float32) for _ in range(81)])
+        epoch_fn = make_scan_epoch(cfg1, True, steps_per_epoch, 1, 64, 25)
+        key = jax.random.PRNGKey(0)
+        st1, stacked = epoch_fn(st1, bank, bank, key)  # compile + warmup
+        float(stacked["g_loss"][-1])
+        with jax.profiler.trace(args.trace_dir):
+            st1, stacked = epoch_fn(st1, bank, bank, key)
+            float(stacked["g_loss"][-1])
+        summarize(args.trace_dir, args.top)
+        print(f"\n(one {steps_per_epoch}-step scan epoch traced; divide "
+              "the ms column by 81 for per-step attribution)")
+        return
+
     cfg = TrainConfig(
         schedule=ScheduleConfig(
             num_epochs=1000, n_samples=81, batch_size=args.batch,
@@ -120,7 +167,6 @@ def main():
     state = create_train_state(cfg, seed=0)
     step = make_jit_train_step(cfg)
 
-    rs = np.random.RandomState(0)
     batch = {
         "real_A": jnp.asarray(rs.randn(args.batch, 80, args.frames), jnp.float32),
         "mask_A": jnp.ones((args.batch, 80, args.frames), jnp.float32),

@@ -124,10 +124,18 @@ def make_loss_fns(cfg: TrainConfig, with_identity: bool = True):
     return gen, disc, g_loss_fn, d_loss_fn
 
 
-def make_train_step(cfg: TrainConfig, with_identity: bool = True):
+def make_train_step(cfg: TrainConfig, with_identity: bool = True,
+                    with_eval_fake: bool = False):
     """Build ``train_step(state, batch) -> (state, metrics)`` (pure, jittable).
 
     batch: {"real_A": (B,M,T), "mask_A": (B,M,T), "real_B": ..., "mask_B": ...}
+
+    ``with_eval_fake`` adds the A->B conversion of ``real_A`` under the
+    UPDATED generator to metrics as ``fake_B_eval``. The D step computes
+    this tensor anyway (reference ordering), so in-loop vocoder decode
+    (BASELINE config 5) can consume it from the same executable for free
+    instead of re-dispatching a generator forward — XLA does not CSE the
+    recomputation across the Pallas custom calls (measured ~8 ms extra).
 
     ``with_identity`` statically includes/excludes the identity-loss
     forwards. The identity cutoff is a fixed step threshold, so the
@@ -184,6 +192,8 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True):
             **g_aux,
             **d_aux,
         }
+        if with_eval_fake:
+            metrics["fake_B_eval"] = generated_B
         new_state = state.replace(
             step=state.step + 1,
             g_params=g_params,
