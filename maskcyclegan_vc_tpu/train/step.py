@@ -45,6 +45,7 @@ def make_loss_fns(cfg: TrainConfig, with_identity: bool = True):
     """
     gen, disc = build_models(cfg)
     sched = cfg.schedule
+    pair = cfg.pair_forwards_resolved()
 
     gen_apply = gen.apply
     if cfg.remat:
@@ -55,12 +56,40 @@ def make_loss_fns(cfg: TrainConfig, with_identity: bool = True):
     def g_loss_fn(g_params, d_params, batch, lam_id):
         real_A, mask_A = batch["real_A"], batch["mask_A"]
         real_B, mask_B = batch["real_B"], batch["mask_B"]
+        B = real_A.shape[0]
         ones = jnp.ones_like(real_A)
 
-        # reference train.py:203-216
-        fake_B = gen_apply(g_params["A2B"], real_A, mask_A)
-        cycle_A = gen_apply(g_params["B2A"], fake_B, ones)
-        fake_A = gen_apply(g_params["B2A"], real_B, mask_B)
+        # reference train.py:203-216. With ``pair`` on, same-params
+        # forwards are BATCHED (fake_B + identity_B both run A2B;
+        # fake_A + identity_A + cycle_A run B2A): per-sample numerics
+        # are the 1-at-a-time graph at f32 accumulation tolerance (conv
+        # contractions and InstanceNorm stats are per-sample), but the
+        # device sees half the launches at 2-3x the rows — the
+        # launch-bound batch-1 scan config runs its convs at ~18% MXU
+        # where every row helps (18.98 -> 13.87 ms/it, round-4 profile).
+        if pair and with_identity:
+            out_ab = gen_apply(g_params["A2B"],
+                               jnp.concatenate([real_A, real_B]),
+                               jnp.concatenate([mask_A, ones]))
+            fake_B, identity_B = out_ab[:B], out_ab[B:]
+            out_ba = gen_apply(g_params["B2A"],
+                               jnp.concatenate([real_B, real_A, fake_B]),
+                               jnp.concatenate([mask_B, ones, ones]))
+            fake_A, identity_A, cycle_A = (out_ba[:B], out_ba[B:2 * B],
+                                           out_ba[2 * B:])
+        elif pair:
+            fake_B = gen_apply(g_params["A2B"], real_A, mask_A)
+            out_ba = gen_apply(g_params["B2A"],
+                               jnp.concatenate([real_B, fake_B]),
+                               jnp.concatenate([mask_B, ones]))
+            fake_A, cycle_A = out_ba[:B], out_ba[B:]
+        else:
+            fake_B = gen_apply(g_params["A2B"], real_A, mask_A)
+            fake_A = gen_apply(g_params["B2A"], real_B, mask_B)
+            cycle_A = gen_apply(g_params["B2A"], fake_B, ones)
+            if with_identity:
+                identity_A = gen_apply(g_params["B2A"], real_A, ones)
+                identity_B = gen_apply(g_params["A2B"], real_B, ones)
         cycle_B = gen_apply(g_params["A2B"], fake_A, ones)
 
         d_fake_A = disc.apply(d_params["A"], fake_A)
@@ -74,8 +103,6 @@ def make_loss_fns(cfg: TrainConfig, with_identity: bool = True):
         # identity forwards after stop_identity_after — pure waste; here
         # the no-identity executable drops them).
         if with_identity:
-            identity_A = gen_apply(g_params["B2A"], real_A, ones)
-            identity_B = gen_apply(g_params["A2B"], real_B, ones)
             identity_loss = _l1(real_A, identity_A) + _l1(real_B, identity_B)
             # Report 0 past the cutoff (the term is weighted away there),
             # matching the no-identity executable's metric.
@@ -103,15 +130,33 @@ def make_loss_fns(cfg: TrainConfig, with_identity: bool = True):
 
     def d_loss_fn(d_params, fakes, batch):
         real_A, real_B = batch["real_A"], batch["real_B"]
-        # reference train.py:255-294
-        d_real_A = disc.apply(d_params["A"], real_A)
-        d_real_B = disc.apply(d_params["B"], real_B)
-        d_real_A2 = disc.apply(d_params["A2"], real_A)
-        d_real_B2 = disc.apply(d_params["B2"], real_B)
-        d_fake_A = disc.apply(d_params["A"], fakes["generated_A"])
-        d_fake_B = disc.apply(d_params["B"], fakes["generated_B"])
-        d_cycled_A = disc.apply(d_params["A2"], fakes["cycled_A"])
-        d_cycled_B = disc.apply(d_params["B2"], fakes["cycled_B"])
+        B = real_A.shape[0]
+        # reference train.py:255-294; with ``pair`` on, each
+        # discriminator's real and fake applications batch into one
+        # forward (same params -> same per-sample numerics, half the
+        # launches; see g_loss_fn note).
+        if pair:
+            out_A = disc.apply(d_params["A"],
+                               jnp.concatenate([real_A, fakes["generated_A"]]))
+            out_B = disc.apply(d_params["B"],
+                               jnp.concatenate([real_B, fakes["generated_B"]]))
+            out_A2 = disc.apply(d_params["A2"],
+                                jnp.concatenate([real_A, fakes["cycled_A"]]))
+            out_B2 = disc.apply(d_params["B2"],
+                                jnp.concatenate([real_B, fakes["cycled_B"]]))
+            d_real_A, d_fake_A = out_A[:B], out_A[B:]
+            d_real_B, d_fake_B = out_B[:B], out_B[B:]
+            d_real_A2, d_cycled_A = out_A2[:B], out_A2[B:]
+            d_real_B2, d_cycled_B = out_B2[:B], out_B2[B:]
+        else:
+            d_real_A = disc.apply(d_params["A"], real_A)
+            d_real_B = disc.apply(d_params["B"], real_B)
+            d_real_A2 = disc.apply(d_params["A2"], real_A)
+            d_real_B2 = disc.apply(d_params["B2"], real_B)
+            d_fake_A = disc.apply(d_params["A"], fakes["generated_A"])
+            d_fake_B = disc.apply(d_params["B"], fakes["generated_B"])
+            d_cycled_A = disc.apply(d_params["A2"], fakes["cycled_A"])
+            d_cycled_B = disc.apply(d_params["B2"], fakes["cycled_B"])
 
         d_loss_A = (_lsgan(d_real_A, 1.0) + _lsgan(d_fake_A, 0.0)) / 2.0
         d_loss_B = (_lsgan(d_real_B, 1.0) + _lsgan(d_fake_B, 0.0)) / 2.0
@@ -145,12 +190,16 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True,
     ms/step wrapped in conds at BASELINE config 2), and after
     ``stop_identity_after`` (~98% of the canonical 500k-step run) the
     identity FLOPs vanish from the executable entirely. The
-    ``with_identity=True`` variant stays exact past the cutoff too
-    (terms are weighted by the scheduled lambda), so the switch is an
-    optimization, not a semantics change.
+    ``with_identity=True`` variant stays correct past the cutoff too
+    (terms are weighted by the scheduled lambda); the switch changes the
+    trajectory only at f32 accumulation tolerance (the two executables
+    batch the same-params generator forwards differently, so XLA may
+    tile their contractions differently — pinned by
+    tests/test_train_step.py::test_identity_executable_switch_is_exact).
     """
     gen, disc, g_loss_fn, d_loss_fn = make_loss_fns(cfg, with_identity)
     sched = cfg.schedule
+    pair = cfg.pair_forwards_resolved()
     g_tx, d_tx = make_optimizers(cfg)
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
@@ -166,12 +215,24 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True,
         # ---- Discriminator update (with updated G, reference ordering) ----
         real_A, mask_A = batch["real_A"], batch["mask_A"]
         real_B, mask_B = batch["real_B"], batch["mask_B"]
-        generated_A = gen.apply(g_params["B2A"], real_B, mask_B)
-        cycled_B = gen.apply(g_params["A2B"], generated_A,
-                             jnp.ones_like(generated_A))
-        generated_B = gen.apply(g_params["A2B"], real_A, mask_A)
-        cycled_A = gen.apply(g_params["B2A"], generated_B,
-                             jnp.ones_like(generated_B))
+        Bn = real_A.shape[0]
+        ones = jnp.ones_like(real_A)
+        if pair:
+            # Same-params batching again: generated_B and cycled_B both
+            # run A2B and generated_B does not depend on generated_A, so
+            # the four reference forwards (train.py:259-273) run as
+            # three launches.
+            generated_A = gen.apply(g_params["B2A"], real_B, mask_B)
+            out_ab = gen.apply(g_params["A2B"],
+                               jnp.concatenate([real_A, generated_A]),
+                               jnp.concatenate([mask_A, ones]))
+            generated_B, cycled_B = out_ab[:Bn], out_ab[Bn:]
+            cycled_A = gen.apply(g_params["B2A"], generated_B, ones)
+        else:
+            generated_A = gen.apply(g_params["B2A"], real_B, mask_B)
+            cycled_B = gen.apply(g_params["A2B"], generated_A, ones)
+            generated_B = gen.apply(g_params["A2B"], real_A, mask_A)
+            cycled_A = gen.apply(g_params["B2A"], generated_B, ones)
         fakes = jax.lax.stop_gradient({
             "generated_A": generated_A,
             "generated_B": generated_B,

@@ -143,8 +143,12 @@ def test_identity_loss_active_then_off():
 
 def test_identity_executable_switch_is_exact():
     """Past the identity cutoff the with/without-identity executables
-    must produce identical updates (lambda is 0 there, so the identity
-    terms are weighted away; the no-identity variant just drops them)."""
+    must produce equal updates (lambda is 0 there, so the identity terms
+    are weighted away; the no-identity variant just drops them). The two
+    executables batch same-params generator forwards differently (the
+    identity rows ride along in the with-identity variant), so XLA may
+    tile their contractions differently — equality is at f32
+    accumulation tolerance, not bitwise."""
     import jax
 
     from maskcyclegan_vc_tpu.train.state import create_train_state
@@ -162,9 +166,14 @@ def test_identity_executable_switch_is_exact():
     s_off, m_off = make_jit_train_step(cfg, with_identity=False)(
         jax.device_get(state), batch)
     assert float(m_on["identity_lambda"]) == 0.0
-    assert float(m_on["g_loss"]) == float(m_off["g_loss"])
+    np.testing.assert_allclose(float(m_on["g_loss"]), float(m_off["g_loss"]),
+                               rtol=1e-5)
+    # Post-Adam weights: a float-noise gradient difference moves a
+    # near-zero-gradient coordinate by up to ~lr (m/sqrt(v) ~ +-1), so
+    # the meaningful bound is the Adam step quantum, not float tolerance
+    # (same rationale as tests/test_dynamics_parity.py).
     for a, b in zip(jax.tree.leaves(s_on.g_params), jax.tree.leaves(s_off.g_params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-4)
 
 
 def test_scan_epoch_matches_step_loop():
