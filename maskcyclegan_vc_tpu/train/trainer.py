@@ -175,12 +175,18 @@ class Trainer:
         self._identity_cutoff = a.stop_identity_after // a.batch_size
         # Epochs execute as ONE device program (lax.scan over steps with
         # on-device sampling) — per-step host dispatch dominates the
-        # canonical batch-1 config (87 -> 30 ms/it measured on v5e). The
-        # sharded variant constrains the sampled batch to P('data') so
-        # GSPMD partitions exactly like the host loop. Multi-process keeps
-        # the host loop (it feeds process-local shards from the host).
+        # canonical batch-1 config (87 -> 30 -> 14 ms/it measured on
+        # v5e). The sharded variant constrains the sampled batch to
+        # P('data') so GSPMD partitions exactly like the host loop, and
+        # runs multi-process too: banks are replicated (every host loads
+        # the same preprocessed files) and sampling is a pure function of
+        # fold_in(base_key, step), so all processes execute the same scan
+        # program over their addressable shards — validated against the
+        # single-process trajectory by tests/test_multiprocess.py. Only
+        # the unsharded multi-process fallback keeps the host loop.
         self._sharded = sharded
-        self._use_scan = a.scan_epochs and jax.process_count() == 1
+        self._use_scan = a.scan_epochs and (
+            jax.process_count() == 1 or sharded)
         self._scan_fns = {}
 
         self.logger = TrainLogger(

@@ -75,5 +75,32 @@ for b in batches:
 # process exits. Fully-replicated global arrays materialize locally.
 leaves = jax.tree.leaves(state.g_params)
 checksum = np.array([float(np.square(np.asarray(x)).sum()) for x in leaves])
+
+# --- Sharded scan-epoch under multi-process (round-4 directive 6) ---
+# Banks are replicated and on-device sampling is a pure function of the
+# folded key, so every process runs the SAME scan program over its
+# addressable shards; GSPMD inserts the gradient all-reduces exactly as
+# in the step-at-a-time path.
+from maskcyclegan_vc_tpu.data.dataset import MelBank  # noqa: E402
+from maskcyclegan_vc_tpu.parallel.mesh import make_sharded_scan_epoch  # noqa: E402
+from maskcyclegan_vc_tpu.train.state import create_train_state as _cts  # noqa: E402
+
+rs = np.random.RandomState(7)
+bank = MelBank.from_list(
+    [rs.randn(8, 24).astype(np.float32) for _ in range(6)], min_frames=8)
+scan_state = replicate(_cts(cfg, seed=3), mesh)
+bank_r = replicate(bank, mesh)
+epoch = make_sharded_scan_epoch(cfg, mesh, True, n_steps=3, batch=8,
+                                n_frames=8, max_mask_len=4)
+epoch_c = epoch.lower(scan_state, bank_r, bank_r, jax.random.PRNGKey(11)).compile()
+distributed.global_state.client.wait_at_barrier(
+    "mp_test_scan_compile_done", timeout_in_ms=900_000)
+scan_state, stacked = epoch_c(scan_state, bank_r, bank_r, jax.random.PRNGKey(11))
+scan_losses = np.asarray(stacked["g_loss"])
+scan_checksum = np.array([
+    float(np.square(np.asarray(x)).sum())
+    for x in jax.tree.leaves(scan_state.g_params)])
+
 if pid == 0:
-    np.savez(out_path, losses=np.array(losses), checksum=checksum)
+    np.savez(out_path, losses=np.array(losses), checksum=checksum,
+             scan_losses=scan_losses, scan_checksum=scan_checksum)
