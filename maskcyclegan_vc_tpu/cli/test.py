@@ -98,6 +98,8 @@ def main(argv=None):
                         "the index-paired target utterance (VCC2018 eval "
                         "sentences are parallel across speakers)")
     args = p.parse_args(argv)
+    from maskcyclegan_vc_tpu.cli.train import print_options
+    print(print_options(args), flush=True)
 
     # A2B converts A's utterances using B's stats for decode (test.py:41-54,94-98).
     if args.model_name == "generator_A2B":

@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=d.num_epochs)
     p.add_argument("--batch_size", type=int, default=d.batch_size)
     p.add_argument("--num_frames", type=int, default=d.num_frames)
+    p.add_argument("--num_frames_validation", type=int, default=320,
+                   help="accepted for reference CLI compatibility and "
+                        "intentionally ignored: validation always uses "
+                        "full utterances, exactly like the reference "
+                        "(its valid-mode VCDataset ignores n_frames — "
+                        "cycleGAN_train_arg_parser.py:44-46, "
+                        "vc_dataset.py:24-28; SURVEY Appendix A.9)")
     p.add_argument("--max_mask_len", type=int, default=d.max_mask_len)
     p.add_argument("--generator_lr", type=float, default=d.generator_lr)
     p.add_argument("--discriminator_lr", type=float, default=d.discriminator_lr)
@@ -79,8 +86,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def print_options(args) -> str:
+    """Resolved-flag startup dump, reference format
+    (args/base_arg_parser.py:147-163)."""
+    lines = ["----------------- Options ---------------"]
+    for k, v in sorted(vars(args).items()):
+        lines.append("{:>25}: {:<30}".format(str(k), str(v)))
+    lines.append("----------------- End -------------------")
+    return "\n".join(lines)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    print(print_options(args), flush=True)
     if args.distributed:
         from maskcyclegan_vc_tpu.parallel.dist import initialize
 

@@ -161,3 +161,19 @@ def test_plot_rotates_validation_utterances():
         Trainer._plot(stub, epoch)
     assert [a for a, _ in recorded] == [0.0, 1.0, 2.0, 0.0]
     assert [b for _, b in recorded] == [10.0, 11.0, 10.0, 11.0]
+
+
+def test_train_cli_options_dump_and_validation_flag():
+    """--num_frames_validation is accepted (and intentionally ignored,
+    reference quirk A.9) and the startup dump lists every resolved flag
+    in the reference's print_options format (base_arg_parser.py:147-163)."""
+    from maskcyclegan_vc_tpu.cli.train import build_parser, print_options
+
+    args = build_parser().parse_args(
+        ["--name", "x", "--num_frames_validation", "128"])
+    assert args.num_frames_validation == 128
+    dump = print_options(args)
+    assert dump.startswith("----------------- Options ---------------")
+    assert dump.rstrip().endswith("----------------- End -------------------")
+    for key in ("batch_size", "num_frames_validation", "decay_after", "name"):
+        assert key in dump
