@@ -29,13 +29,15 @@ def _fill(tree_def_leaf_path, shape_dtype, rs, sibling_kernel_shape=None):
     shape = shape_dtype.shape
     dtype = shape_dtype.dtype
     name = tree_def_leaf_path[-1]
-    if name == "scale" or name.endswith("norm_scale"):
+    if name == "scale" or name.endswith("_scale"):
         return np.ones(shape, dtype)
-    if name == "kernel" or name.endswith("conv_kernel"):
+    # Any *_kernel leaf (flax nested convs use the bare name; flat param
+    # styles like MelGAN use up0_kernel / res0_0_conv1_kernel / ...).
+    if name == "kernel" or name.endswith("_kernel"):
         fan_in = int(shape[-2]) * int(math.prod(shape[:-2]))
         bound = 1.0 / math.sqrt(fan_in)
         return rs.uniform(-bound, bound, size=shape).astype(dtype)
-    if name == "bias" or name.endswith("conv_bias"):
+    if name == "bias" or name.endswith("_bias"):
         if sibling_kernel_shape is not None:
             ks = sibling_kernel_shape
             fan_in = int(ks[-2]) * int(math.prod(ks[:-2]))
@@ -67,7 +69,7 @@ def fast_init(model, seed: int, *args, **kwargs) -> Any:
         parent = by_parent.get(keys[:-1], {})
         if name == "bias" and "kernel" in parent:
             sibling = parent["kernel"]
-        elif name.endswith("conv_bias"):
+        elif name.endswith("_bias"):
             kname = name[: -len("bias")] + "kernel"
             if kname in parent:
                 sibling = parent[kname]
