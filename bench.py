@@ -116,7 +116,10 @@ def main():
         from maskcyclegan_vc_tpu.train.step import make_train_step
         from maskcyclegan_vc_tpu.utils.init import fast_init
 
-        melgan = MelGANGenerator()
+        # bf16 decode: the vocoder is bandwidth-bound (models/melgan.py
+        # docstring); in-loop eval audio tolerates the < 1e-4 deviation.
+        melgan = MelGANGenerator(
+            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None)
         mel_params = fast_init(melgan, 0, jnp.zeros((1, 80, 8)))
         base_step = make_train_step(cfg, with_identity=bool(args.identity),
                                     with_eval_fake=True)

@@ -89,6 +89,33 @@ def main():
     print(f"melspec maxdiff {mel:.3e}")
     assert mel < 1e-4, "pallas melspec diverges on TPU"
 
+    # 4. fused MelGAN residual stages + tail, compiled, at realistic
+    # weight scales (flax init is normal(0.02) which decays the signal
+    # to ~0 through 13 res blocks — comparing on that would prove
+    # nothing, so re-scale the conv kernels to keep activations O(1)).
+    from maskcyclegan_vc_tpu.models.melgan import MelGANGenerator
+    from maskcyclegan_vc_tpu.utils.init import fast_init
+
+    # Both sides at precision="highest": XLA's DEFAULT f32 convs run
+    # bf16 MXU passes (~1e-2 off true f32 — measured, same as a plain
+    # jnp.dot), and the fused kernel at f32 always uses full-precision
+    # passes, so a highest-vs-default comparison would only measure the
+    # XLA side's own rounding.
+    m0 = MelGANGenerator(precision="highest")
+    mp = fast_init(m0, 0, jnp.zeros((1, 80, 8)))
+    mp = jax.tree.map(
+        lambda a: a * 2.5 if a.ndim == 3 else a, mp)
+    mel_in = jnp.asarray(rs.randn(2, 80, 32), jnp.float32)
+    w_ref = jax.jit(lambda q: m0.apply(mp, q))(mel_in)
+    m1 = MelGANGenerator(precision="highest", fused_stages=True)
+    w_fused = jax.jit(lambda q: m1.apply(mp, q))(mel_in)
+    spread = float(jnp.abs(w_ref).max())
+    vdiff = float(jnp.abs(w_fused - w_ref).max())
+    print(f"melgan fused-stages maxdiff {vdiff:.3e} "
+          f"(waveform spread {spread:.3f})")
+    assert spread > 0.3, "degenerate vocoder test signal (check scaling)"
+    assert vdiff < 5e-5, "fused MelGAN stages diverge on TPU"
+
     print("TPU PARITY CHECK OK")
 
 
