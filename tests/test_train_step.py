@@ -214,3 +214,27 @@ def test_scan_epoch_matches_step_loop():
     for pa, pb in zip(jax.tree.leaves(state_a.g_params),
                       jax.tree.leaves(state_b.g_params)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-3)
+
+
+def test_with_eval_fake_exports_updated_conversion():
+    """metrics['fake_B_eval'] must be the A->B conversion of real_A under
+    the UPDATED generator — the tensor the in-loop vocoder decodes
+    (bench config 5), identical to a post-step forward."""
+    import jax
+
+    from maskcyclegan_vc_tpu.train.state import build_models, create_train_state
+    from maskcyclegan_vc_tpu.train.step import make_train_step
+
+    cfg = tiny_cfg()
+    state = create_train_state(cfg, seed=0)
+    batch = tiny_batch(5, b=2)
+    step = jax.jit(make_train_step(cfg, with_eval_fake=True))
+    new_state, metrics = step(state, batch)
+    gen, _ = build_models(cfg)
+    want = gen.apply(new_state.g_params["A2B"], batch["real_A"],
+                     batch["mask_A"])
+    # In-step the conversion rides the pair-batched D-step forward, so
+    # XLA may tile it differently than this standalone apply — compare
+    # at f32 accumulation tolerance.
+    np.testing.assert_allclose(np.asarray(metrics["fake_B_eval"]),
+                               np.asarray(want), atol=1e-4)
