@@ -178,46 +178,25 @@ def _inv_chunk(dy, hc: int, W: int, C: int):
         axis=-1)
 
 
-def _sis_bwd_kernel(x_hbm, dy_hbm, s_ref, b_ref, mean_ref, inv_ref,
-                    dx_ref, dsc_ref, dbi_ref, xs_ref, dyb_ref, sems):
+def _sis_bwd_kernel(x_ref, dy_ref, s_ref, b_ref, mean_ref, inv_ref,
+                    dx_ref, dsc_ref, dbi_ref):
     """Whole IN+swish+shuffle backward for one sample, fused, two passes.
 
     The forward's pooled stats arrive as residuals (mean/inv), so no
-    stats re-reduction pass over x is needed. Pass A streams x and dy in
-    hc-row chunks, double-buffered against compute (chunk i+1 in flight
-    while chunk i is processed): it computes dz, PARKS dz in the dx
-    output buffer, and accumulates the q-pooled reductions. Pass B turns
-    the parked dz into dx with only cheap arithmetic (no sigmoid
-    recompute; x is resident in VMEM by then). In bf16 the parked dz is
-    rounded to bf16 — the same quantum as the bf16 output itself.
-    """
-    b = pl.program_id(0)
-    H, W, C4 = xs_ref.shape
+    stats re-reduction pass over x is needed. Pass A computes dz, PARKS
+    dz in the dx output buffer, and accumulates the q-pooled reductions;
+    pass B turns the parked dz into dx with only cheap arithmetic (no
+    sigmoid recompute). In bf16 the parked dz is rounded to bf16 — the
+    same quantum as the bf16 output itself. x and dy arrive as standard
+    VMEM blocks (auto-pipelined double-buffered across grid programs —
+    this also keeps the kernel vmappable, which in-kernel manual HBM DMA
+    is not; the DMA-streamed variant measured no faster, the kernel is
+    VPU-bound)."""
+    _, H, W, C4 = x_ref.shape
     C = C4 // 4
     n = H * W * 4
     hc = _hchunk(H, W, C4, cap_bytes=1 << 18)
     nchunks = H // hc
-
-    def x_cp(i):
-        # x chunks land at their final offset in the resident scratch;
-        # alternating semaphores double-buffer the stream.
-        return pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(i * hc, hc)],
-            xs_ref.at[pl.ds(i * hc, hc)],
-            sems.at[i % 2],
-        )
-
-    def dy_cp(i):
-        # dy is only needed chunk-at-a-time (pass A), so it streams
-        # through a 2-slot buffer instead of a whole-sample scratch.
-        return pltpu.make_async_copy(
-            dy_hbm.at[b, pl.ds(2 * i * hc, 2 * hc)],
-            dyb_ref.at[i % 2],
-            sems.at[2 + i % 2],
-        )
-
-    x_cp(0).start()
-    dy_cp(0).start()
 
     def pool(t):
         return (t[:, 0:C] + t[:, C:2 * C] + t[:, 2 * C:3 * C]
@@ -234,21 +213,16 @@ def _sis_bwd_kernel(x_hbm, dy_hbm, s_ref, b_ref, mean_ref, inv_ref,
     zA4 = c4(inv * scale)
     zB4 = c4(bias - mean * inv * scale)
 
-    # Pass A: dz + reductions, overlapped with both input streams. xhat
-    # never materializes: sum(dz*xhat) = inv*(sum(dz*x) - mean*sum(dz)),
-    # so the loop only accumulates sum(dz) and sum(dz*x).
+    # Pass A: dz + reductions. xhat never materializes:
+    # sum(dz*xhat) = inv*(sum(dz*x) - mean*sum(dz)), so the loop only
+    # accumulates sum(dz) and sum(dz*x).
     sdz = jnp.zeros((1, C4), jnp.float32)
     sdzxf = jnp.zeros((1, C4), jnp.float32)
     for i in range(nchunks):
-        if i + 1 < nchunks:
-            x_cp(i + 1).start()
-            dy_cp(i + 1).start()
-        x_cp(i).wait()
-        dy_cp(i).wait()
-        xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
+        xf = x_ref[0, i * hc:(i + 1) * hc].astype(jnp.float32)
         z = xf * zA4 + zB4
         s = jax.nn.sigmoid(z)
-        dyq = _inv_chunk(dyb_ref[i % 2], hc, W, C)
+        dyq = _inv_chunk(dy_ref[0, 2 * i * hc:2 * (i + 1) * hc], hc, W, C)
         dz = dyq.astype(jnp.float32) * (s + z * s * (1.0 - s))
         sdz = sdz + jnp.sum(dz, axis=(0, 1)).reshape(1, C4)
         sdzxf = sdzxf + jnp.sum(dz * xf, axis=(0, 1)).reshape(1, C4)
@@ -267,9 +241,9 @@ def _sis_bwd_kernel(x_hbm, dy_hbm, s_ref, b_ref, mean_ref, inv_ref,
     cX4 = c4(-a * mdzx * inv)
     c14 = c4(-a * mdz + a * mdzx * inv * mean)
 
-    # Pass B: dx from the parked dz — two FMAs, x resident in VMEM.
+    # Pass B: dx from the parked dz — two FMAs per element.
     for i in range(nchunks):
-        xf = xs_ref[i * hc:(i + 1) * hc].astype(jnp.float32)
+        xf = x_ref[0, i * hc:(i + 1) * hc].astype(jnp.float32)
         t = dx_ref[0, i * hc:(i + 1) * hc].astype(jnp.float32)
         dx = a4 * t + (cX4 * xf + c14)
         dx_ref[0, i * hc:(i + 1) * hc] = dx.astype(dx_ref.dtype)
@@ -278,13 +252,14 @@ def _sis_bwd_kernel(x_hbm, dy_hbm, s_ref, b_ref, mean_ref, inv_ref,
 def _sis_bwd_pallas(x, dy, scale, bias, mean, inv, interpret):
     B, H, W, C4 = x.shape
     C = C4 // 4
-    hc = _hchunk(H, W, C4, cap_bytes=1 << 18)
     dx, dsc, dbi = pl.pallas_call(
         _sis_bwd_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, H, W, C4), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * H, 2 * W, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
@@ -305,12 +280,6 @@ def _sis_bwd_pallas(x, dy, scale, bias, mean, inv, interpret):
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((H, W, C4), x.dtype),
-            pltpu.VMEM((2, 2 * hc, 2 * W, C), dy.dtype),
-            # sems 0/1: x-chunk stream; sems 2/3: dy-chunk stream.
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
         interpret=interpret,
     )(x, dy, scale.reshape(1, C), bias.reshape(1, C), mean, inv)
     return (dx, dsc.sum((0, 1)).astype(scale.dtype),
