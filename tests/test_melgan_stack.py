@@ -61,3 +61,36 @@ def test_melgan_fused_stages_matches_unfused():
     y0 = np.asarray(m0.apply(p, x))
     y1 = np.asarray(m1.apply(p, x))
     np.testing.assert_allclose(y1, y0, atol=2e-5, rtol=2e-5)
+
+
+def test_fused_stage_guards():
+    """The fused path must decline shapes it can't handle (indivisible W
+    for the pack factor, VMEM-overflowing buffers) and fall back to the
+    XLA chain rather than failing at Mosaic compile time."""
+    import jax.numpy as jnp
+
+    from maskcyclegan_vc_tpu.ops.pallas import melgan_stack_kernel as mk
+
+    m = MelGANGenerator(ngf=4, fused_stages=True)
+    # C=8 -> p=16; W=24 not divisible by 16 -> must decline.
+    assert not m._use_fused_stage(jnp.zeros((1, 24, 8), jnp.float32))
+    # Divisible and small -> accepted.
+    assert m._use_fused_stage(jnp.zeros((1, 64, 8), jnp.float32))
+    # Oversized W*C -> VMEM budget declines.
+    assert mk.melgan_resstack_vmem_bytes(1 << 22, 128, 4) > mk._VMEM_BUDGET
+    assert not m._use_fused_stage(jnp.zeros((1, 1 << 22, 128), jnp.float32))
+    # fused_stages=False always declines.
+    m_off = MelGANGenerator(ngf=4, fused_stages=False)
+    assert not m_off._use_fused_stage(jnp.zeros((1, 64, 8), jnp.float32))
+
+
+def test_odd_length_melgan_falls_back_and_matches():
+    """A mel length whose waveform W is not pack-divisible must still
+    produce the same output as the XLA chain (via the fallback)."""
+    m0 = MelGANGenerator(n_mels=8, ngf=4, fused_stages=False)
+    m1 = MelGANGenerator(n_mels=8, ngf=4, fused_stages=True)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 8, 5), jnp.float32)
+    p = fast_init(m0, 0, jnp.zeros((1, 8, 4)))
+    y0 = np.asarray(m0.apply(p, x))
+    y1 = np.asarray(m1.apply(p, x))
+    np.testing.assert_allclose(y1, y0, atol=2e-5, rtol=2e-5)
