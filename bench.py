@@ -182,22 +182,13 @@ def main():
     # trains; per-step host dispatch would dominate it without scan.
     batch1 = {}
     if args.batch1:
-        from maskcyclegan_vc_tpu.data.dataset import MelBank
-        from maskcyclegan_vc_tpu.train.step import make_scan_epoch
+        from benchmarks._canonical import STEPS_PER_EPOCH, canonical_batch1_setup
 
-        steps_per_epoch = 81
-        cfg1 = TrainConfig(
-            schedule=ScheduleConfig(
-                num_epochs=6172, n_samples=81, batch_size=1,
-                decay_after=200_000, stop_identity_after=10_000),
-            num_frames=64,
-            dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
-            fused_norms=bool(args.fused_norms),
+        steps_per_epoch = STEPS_PER_EPOCH
+        st1, bank, epoch_fn = canonical_batch1_setup(
+            jnp.bfloat16 if args.dtype == "bfloat16" else None,
+            bool(args.fused_norms),
         )
-        st1 = create_train_state(cfg1, seed=0)
-        bank = MelBank.from_list(
-            [rs.randn(80, 200).astype(np.float32) for _ in range(81)])
-        epoch_fn = make_scan_epoch(cfg1, True, steps_per_epoch, 1, 64, 25)
         key = jax.random.PRNGKey(0)
         st1, stacked = epoch_fn(st1, bank, bank, key)  # compile + warmup
         float(stacked["g_loss"][-1])

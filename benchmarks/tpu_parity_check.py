@@ -101,7 +101,9 @@ def main():
     # jnp.dot), and the fused kernel at f32 always uses full-precision
     # passes, so a highest-vs-default comparison would only measure the
     # XLA side's own rounding.
-    m0 = MelGANGenerator(precision="highest")
+    # fused_stages=False explicitly: the default auto-resolves to True on
+    # TPU, which would compare the fused kernel against itself.
+    m0 = MelGANGenerator(precision="highest", fused_stages=False)
     mp = fast_init(m0, 0, jnp.zeros((1, 80, 8)))
     mp = jax.tree.map(
         lambda a: a * 2.5 if a.ndim == 3 else a, mp)

@@ -18,14 +18,18 @@ Design:
   * normalize + swish + shuffle happen chunked in VMEM; the shuffled
     tensor is written exactly once to HBM.
 
-The backward is a jax.custom_vjp: the incoming cotangent is
-inverse-shuffled by a second Pallas kernel (pure data movement), and
-the IN+swish backward math runs in XLA on the un-shuffled q-major
-layout (reductions reshape (B,S,4,C) and pool q).
+The backward is a jax.custom_vjp lowered to ONE fused Pallas kernel
+(``_sis_bwd_kernel``): the forward's pooled stats arrive as residuals
+(no stats re-reduction), pass A inverse-shuffles the cotangent chunk-
+wise, computes dz, PARKS dz in the dx output block and accumulates the
+q-pooled reductions, and pass B turns parked dz into dx with two FMAs
+per element (in bf16 the parked dz costs one bf16 rounding — the same
+quantum as the bf16 output). An XLA composition
+(``_sis_bwd_xla``) remains only as the fallback when the whole-sample
+blocks would exceed the VMEM budget (oversized --num_frames).
 
 Forward output dtype follows x. Grid: one program per batch sample;
-VMEM at the model's largest stage (x (40,64,512), y (80,128,128) bf16)
-is ~10.4 MB double-buffered plus <1 MB of f32 chunk temporaries.
+in/out blocks are auto-pipelined double-buffered by Pallas.
 """
 
 from __future__ import annotations
@@ -280,29 +284,31 @@ def _sis_bwd_pallas(x, dy, scale, bias, mean, inv, interpret):
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT),
         interpret=interpret,
     )(x, dy, scale.reshape(1, C), bias.reshape(1, C), mean, inv)
     return (dx, dsc.sum((0, 1)).astype(scale.dtype),
             dbi.sum((0, 1)).astype(bias.dtype))
 
 
-# VMEM is ~16 MB/core on v5e; the fused backward keeps a whole-sample x
-# scratch resident plus a 2-slot dy chunk buffer and a double-buffered dx
-# output block. Past this budget (a large --num_frames at inference-scale
-# T) the Pallas kernel would fail AT COMPILE TIME far from the config
-# knob, so fall back to the XLA composition instead (ADVICE r3:
-# ps_kernel.py:264).
-_BWD_VMEM_BUDGET = 12 * (1 << 20)
+# The fused backward brings x, dy and dx in as whole-sample VMEM blocks,
+# each double-buffered by the Pallas grid pipeline (dy and dx hold the
+# same element count as x, so the footprint is ~6x the per-sample x
+# bytes). Past this budget (a large --num_frames at inference-scale T)
+# fall back to the XLA composition instead of failing at Mosaic compile
+# time far from the config knob (ADVICE r3). The pallas_call raises the
+# scoped-vmem limit, so the budget — validated at the canonical
+# 128-frame shapes (~15.7 MB at upSample2) — is the real gate.
+_BWD_VMEM_BUDGET = 32 * (1 << 20)
+_BWD_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _sis_bwd_vmem_bytes(x, dy):
     B, H, W, C4 = x.shape
     itemsize = jnp.dtype(x.dtype).itemsize
     x_bytes = H * W * C4 * itemsize
-    hc = _hchunk(H, W, C4, cap_bytes=1 << 18)
-    dyb_bytes = 2 * (2 * hc) * dy.shape[2] * dy.shape[3] * jnp.dtype(
-        dy.dtype).itemsize
-    return x_bytes + dyb_bytes + 2 * x_bytes  # x scratch + dy slots + dx blocks
+    return 6 * x_bytes  # (x + dy + dx) blocks, double-buffered
 
 
 def _sis_bwd_xla(x, dy, scale, bias, interpret):

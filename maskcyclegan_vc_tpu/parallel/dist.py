@@ -50,17 +50,22 @@ def initialize(coordinator_address: Optional[str] = None,
     if (coordinator_address, num_processes, process_id) == (None, None, None):
         # Fully-auto path: TPU pods / managed clusters auto-discover. A
         # plain single-process run raises "coordinator_address should be
-        # defined" — the ONLY failure treated as single-process; anything
-        # else propagates. Matched loosely (ValueError today, jax 0.9.0
-        # src/distributed.py; also accept a future RuntimeError rewrap
-        # and the "cluster environment" phrasing) so a JAX upgrade can't
-        # turn every plain single-host run into a startup crash.
+        # defined" — the ONLY failure class treated as single-process;
+        # anything else propagates. Matched on the current ValueError
+        # (jax 0.9.0 src/distributed.py) plus a future RuntimeError
+        # rewrap of the same no-cluster-detected condition, but ONLY for
+        # phrasings that assert the ABSENCE of a cluster — a bootstrap
+        # failure that merely mentions "cluster environment" (e.g. a
+        # metadata-server error on a real pod) must still fail loudly,
+        # not fan out as N silent solo trainers.
         try:
             jax.distributed.initialize()
         except (ValueError, RuntimeError) as e:
-            msg = str(e)
-            if ("coordinator_address" not in msg
-                    and "cluster environment" not in msg):
+            msg = str(e).lower()
+            no_cluster = ("coordinator_address" in msg
+                          or "no cluster environment" in msg
+                          or "could not find a cluster" in msg)
+            if not no_cluster:
                 raise
             if require_multiprocess:
                 raise RuntimeError(

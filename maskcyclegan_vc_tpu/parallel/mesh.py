@@ -40,8 +40,11 @@ def make_sharded_scan_epoch(cfg: TrainConfig, mesh: Mesh, with_identity: bool,
     the sampled batch gets a ``P('data')`` sharding constraint inside the
     loop, so every train step runs with the same partitioning as the
     step-at-a-time path and XLA inserts the same gradient all-reduces.
-    Single-controller only (the multi-process host loop feeds
-    process-local shards from the host instead).
+    Runs multi-process too (round 4): banks are replicated (every host
+    loads the same preprocessed files) and sampling is a pure function
+    of fold_in(base_key, step), so all processes execute the same scan
+    program over their addressable shards — pinned against the
+    single-process trajectory by tests/test_multiprocess.py.
     """
     from maskcyclegan_vc_tpu.data.dataset import sample_batch
 
