@@ -238,3 +238,29 @@ def test_with_eval_fake_exports_updated_conversion():
     # at f32 accumulation tolerance.
     np.testing.assert_allclose(np.asarray(metrics["fake_B_eval"]),
                                np.asarray(want), atol=1e-4)
+
+
+def test_pair_forwards_on_off_equivalent():
+    """The pair-batched graph (auto below batch 16) and the unbatched
+    graph (large-batch default) are the same computation: losses match
+    at float tolerance and post-Adam weights within the step quantum.
+    The unbatched branch otherwise only runs at bench-scale batches."""
+    import dataclasses
+
+    import jax
+
+    batch = tiny_batch(7, b=2)
+    results = {}
+    for pair in (True, False):
+        cfg = dataclasses.replace(tiny_cfg(), pair_forwards=pair)
+        state = create_train_state(cfg, seed=0)
+        st, m = make_jit_train_step(cfg)(state, batch)
+        results[pair] = (st, m)
+    m_on, m_off = results[True][1], results[False][1]
+    np.testing.assert_allclose(float(m_on["g_loss"]), float(m_off["g_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_on["d_loss"]), float(m_off["d_loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results[True][0].g_params),
+                    jax.tree.leaves(results[False][0].g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=6e-4)
