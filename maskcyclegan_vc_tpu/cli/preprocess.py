@@ -73,7 +73,17 @@ def make_mel_fn(use_pallas: bool):
 
 
 def preprocess_speaker(data_dir: str, out_dir: str, speaker_id: str,
-                       min_frames: int = 64, mel_fn=None) -> int:
+                       min_frames: int = 64, mel_fn=None,
+                       collective_stats: bool = None) -> int:
+    """wav dir -> normalized pickles + stats for one speaker.
+
+    Per-speaker mean/std (the reference's single-process numpy pass,
+    preprocess_vcc2018.py:39-41) are computed with mesh psum collectives
+    (parallel/stats.py) whenever more than one device is visible —
+    SURVEY §2.6 "collective normalization stats" — and with numpy on a
+    single device, where a mesh adds nothing. Both produce the same
+    statistics (pinned by tests/test_cli_e2e.py on the 8-device mesh).
+    """
     wavs = sorted(
         glob.glob(os.path.join(data_dir, speaker_id, "**/*.wav"), recursive=True)
     )
@@ -87,12 +97,22 @@ def preprocess_speaker(data_dir: str, out_dir: str, speaker_id: str,
         mel = mel_fn(audio)
         if mel.shape[1] >= min_frames:  # preprocess_vcc2018.py:36
             mels.append(mel)
-    mean, std = compute_norm_stats(mels)
+    if collective_stats is None:
+        collective_stats = len(jax.devices()) > 1
+    if collective_stats:
+        from maskcyclegan_vc_tpu.parallel.stats import norm_stats_over_devices
+
+        mean, std = norm_stats_over_devices(mels)
+    else:
+        mean, std = compute_norm_stats(mels)
     save_speaker(out_dir, speaker_id, normalize(mels, mean, std), mean, std)
     return len(mels)
 
 
 def main(argv=None):
+    from maskcyclegan_vc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_directory", type=str, required=True)
     p.add_argument("--preprocessed_data_directory", type=str, required=True)

@@ -55,3 +55,44 @@ def collective_norm_stats(frames, frame_valid, mesh: Mesh):
         return mean[:, None], std[:, None]
 
     return _stats(frames.astype(jnp.float32), frame_valid.astype(jnp.float32))
+
+
+def norm_stats_over_devices(mels, mesh: Mesh = None):
+    """Collective drop-in for ``data.dataset.compute_norm_stats``.
+
+    Pads a speaker's utterance list into a device-sharded (N, M, Tmax)
+    frame bank (N padded to the device count) and computes the global
+    mean/std with :func:`collective_norm_stats` — the production call
+    site is ``cli/preprocess.py``, which selects this path whenever the
+    runtime exposes more than one device (replacing the reference's
+    single-process numpy pass, preprocess_vcc2018.py:39-41). On a
+    multi-host pod each process contributes its local utterances; in a
+    single process the bank shards over the local mesh, exercising the
+    identical psum graph.
+
+    Args:
+      mels: list of (M, T_i) float arrays (one speaker's utterances).
+      mesh: optional mesh; defaults to a fresh data mesh over all devices.
+
+    Returns:
+      (mean, std): (M, 1) float32 numpy arrays matching the reference's
+      concatenated-frames statistics (+1e-9 epsilon).
+    """
+    import numpy as np
+
+    if mesh is None:
+        from maskcyclegan_vc_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    m = mels[0].shape[0]
+    t_max = max(x.shape[1] for x in mels)
+    n = -(-len(mels) // n_dev) * n_dev  # pad to a device multiple
+    frames = np.zeros((n, m, t_max), np.float32)
+    valid = np.zeros((n, t_max), np.float32)
+    for i, x in enumerate(mels):
+        frames[i, :, : x.shape[1]] = x
+        valid[i, : x.shape[1]] = 1.0
+    mean, std = collective_norm_stats(
+        jnp.asarray(frames), jnp.asarray(valid), mesh)
+    return np.asarray(mean), np.asarray(std)

@@ -54,6 +54,20 @@ def test_preprocess_cli(corpus):
     # ~1s at hop 256 with 3-frame pad gain: T = (L + 768 - 1024)//256 + 1
     assert 80 <= mels[0].shape[1] <= 90
 
+    # The CLI computed the stats with the COLLECTIVE path (8 devices are
+    # visible here — cli/preprocess.py auto-selects psum stats); they
+    # must match the reference's numpy pass bit-for-tolerance. Denorm
+    # the saved pickles back and recompute the numpy oracle.
+    import jax
+
+    assert len(jax.devices()) > 1  # precondition for the auto-selection
+    from maskcyclegan_vc_tpu.data.dataset import compute_norm_stats
+
+    raw = [m * std + mean for m in mels]
+    np_mean, np_std = compute_norm_stats(raw)
+    np.testing.assert_allclose(mean, np_mean, atol=1e-4)
+    np.testing.assert_allclose(std, np_std, atol=1e-4)
+
 
 def test_train_and_convert_cli(corpus, capsys):
     from maskcyclegan_vc_tpu.cli.train import main as train_main
