@@ -74,15 +74,38 @@ class Discriminator(nn.Module):
     fused_norms: bool = False
 
     @nn.compact
-    def __call__(self, x, time_mask=None):
-        """x: (B, n_mels, T). time_mask: optional (B,1,T,1) validity mask."""
+    def __call__(self, x, time_mask=None, lengths=None):
+        """x: (B, n_mels, T) -> (B, ~M/8, ceil(T/8)) patch probabilities.
+
+        ``lengths`` (B,) int32 — or an explicit (B,1,T,1) ``time_mask`` —
+        enables bucketed variable-length evaluation: InstanceNorm uses
+        masked statistics, invalid activations are zeroed at every stage
+        (so stride boundaries see exactly the zero padding an unpadded
+        forward implies), and invalid output patches are zeroed. The
+        masked forward is EXACT vs. the unpadded forward (pinned by
+        tests/test_models.py::test_discriminator_masked_eval_*), the
+        same §5.7 contract the generator's ``lengths`` path carries.
+        """
         R = self.residual_channels
+        if time_mask is None and lengths is not None:
+            from maskcyclegan_vc_tpu.models.generator import (
+                time_mask_from_lengths,
+            )
+
+            time_mask = time_mask_from_lengths(lengths, x.shape[2])
         h = x[..., None].astype(self.dtype or x.dtype)  # (B, M, T, 1)
+        if time_mask is not None:
+            # Zero padded frames so the bucket tail is indistinguishable
+            # from conv zero-padding (masked IN zeroes its own output at
+            # invalid positions; the norm-less stem must be zeroed here).
+            h = h * time_mask.astype(h.dtype)
 
         h = Conv2dT(R // 2, (3, 3), (1, 1), (1, 1), dtype=self.dtype,
                     param_dtype=self.param_dtype, precision=self.precision,
                     name="convLayer1")(h)
         h = swish(h)
+        if time_mask is not None:
+            h = h * time_mask.astype(h.dtype)
 
         def shrink(tm):
             # stride-2 k3 p1: out = floor((L+1)/2); subsample validity.

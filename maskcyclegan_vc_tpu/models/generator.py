@@ -42,6 +42,7 @@ from maskcyclegan_vc_tpu.ops.layers import (
     InstanceNorm,
     SubpixelConv2d,
     _NamedConvParams,
+    conv1d_k3_matmul,
     fused_in_glu,
     fused_in_swish,
     instance_norm_apply,
@@ -78,6 +79,10 @@ class ResidualBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
     fused_norms: bool = False
+    # Run the k3 convs as 3 shifted dot_generals instead of lax.conv
+    # (ops/layers.conv1d_k3_matmul) — perf A/B for the conv-emitter's
+    # ~160 TF/s floor on these shapes; numerics are matmul-identical.
+    k3_matmul: bool = False
 
     @nn.compact
     def __call__(self, x, time_mask=None):
@@ -89,8 +94,18 @@ class ResidualBlock(nn.Module):
                                     name="conv1d_layer")()
         k_g, b_g = _NamedConvParams(kshape, in_ch * 3, self.param_dtype,
                                     name="conv_layer_gates")()
-        h, g = paired_conv(x, k_h, b_h, k_g, b_g, strides=1, padding=1,
-                           dtype=self.dtype, precision=self.precision, dims=1)
+        if self.k3_matmul:
+            from flax.linen import dtypes as _fdt2
+
+            kk = jnp.concatenate([k_h, k_g], axis=-1)
+            bb = jnp.concatenate([b_h, b_g])
+            xx, kk, bb = _fdt2.promote_dtype(x, kk, bb, dtype=self.dtype)
+            hg2 = conv1d_k3_matmul(xx, kk, bb, precision=self.precision)
+            h, g = hg2[..., : self.hidden], hg2[..., self.hidden:]
+        else:
+            h, g = paired_conv(x, k_h, b_h, k_g, b_g, strides=1, padding=1,
+                               dtype=self.dtype, precision=self.precision,
+                               dims=1)
         norm_h = InstanceNorm(self.hidden, dtype=self.dtype,
                               param_dtype=self.param_dtype,
                               name="conv1d_layer_norm")
@@ -103,7 +118,16 @@ class ResidualBlock(nn.Module):
             hg = fused_in_glu(h, g, sh, bh, sg, bg).astype(h.dtype)
         else:
             hg = norm_h(h, time_mask) * jax.nn.sigmoid(norm_g(g, time_mask))
-        out = Conv1dT(self.features, name="conv1d_out_layer", **kw)(hg)
+        if self.k3_matmul:
+            from flax.linen import dtypes as _fdt2
+
+            k_o, b_o = _NamedConvParams((3, self.hidden, self.features),
+                                        self.hidden * 3, self.param_dtype,
+                                        name="conv1d_out_layer")()
+            hg2, k_o, b_o = _fdt2.promote_dtype(hg, k_o, b_o, dtype=self.dtype)
+            out = conv1d_k3_matmul(hg2, k_o, b_o, precision=self.precision)
+        else:
+            out = Conv1dT(self.features, name="conv1d_out_layer", **kw)(hg)
         out = InstanceNorm(self.features, dtype=self.dtype, param_dtype=self.param_dtype,
                            fused=self.fused_norms,
                            name="conv1d_out_layer_norm")(out, time_mask)
@@ -120,6 +144,8 @@ class Generator(nn.Module):
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
     fused_norms: bool = False
+    k3_matmul: bool = False  # residual-stack k3 convs as shifted matmuls
+    split_gated_conv: bool = False  # downsample conv pairs as separate convs
 
     @nn.compact
     def __call__(self, x, mask, lengths=None):
@@ -200,9 +226,11 @@ class Generator(nn.Module):
 
         # Gated downsampling (model.py:129-139,245-246).
         h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample1",
-                        fused=self.fused_norms, **conv_kw)(h, tm1)
+                        fused=self.fused_norms,
+                        split_pair=self.split_gated_conv, **conv_kw)(h, tm1)
         h = GatedConv2d(R, (5, 5), (2, 2), (2, 2), name="downSample2",
-                        fused=self.fused_norms, **conv_kw)(h, tm2)
+                        fused=self.fused_norms,
+                        split_pair=self.split_gated_conv, **conv_kw)(h, tm2)
 
         # 2D -> 1D. Torch flattens channel-major (``view(B, C*H, W)``,
         # model.py:249-251: flat index c*H2 + h). Flattening h-major
@@ -232,7 +260,8 @@ class Generator(nn.Module):
             h = ResidualBlock(R, 2 * R, name=f"residualLayer{i + 1}",
                               dtype=self.dtype, param_dtype=self.param_dtype,
                               precision=self.precision,
-                              fused_norms=self.fused_norms)(h, tm2_1d)
+                              fused_norms=self.fused_norms,
+                              k3_matmul=self.k3_matmul)(h, tm2_1d)
 
         k2, b2 = _NamedConvParams((1, R, flat), R, self.param_dtype,
                                   name="conv1dto2dLayer")()

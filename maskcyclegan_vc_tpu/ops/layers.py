@@ -326,6 +326,28 @@ def paired_conv(x, kernel_h, bias_h, kernel_g, bias_g, *, strides, padding,
     return y[..., :C], y[..., C:]
 
 
+def conv1d_k3_matmul(x, kernel, bias=None, precision=None):
+    """k3 stride-1 'same' 1D conv as 3 shifted matmuls (MXU dot_generals).
+
+    x: (B, L, Ci), kernel: (3, Ci, Co) -> (B, L, Co). Bit-compatible with
+    ``lax.conv_general_dilated`` at matched precision (each output
+    element is the same 3*Ci-term dot product, accumulated tap-major).
+    Rationale: the conv emitter runs the residual stack's k3 convs at
+    ~160 TF/s (COVERAGE per-op table); expressing them as plain matmuls
+    hands XLA the same FLOPs in its best-tuned emitter — and autodiff
+    gives dx/dW as matmuls too.
+    """
+    B, L, Ci = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    y = None
+    for t in range(3):
+        yt = jax.lax.dot_general(
+            jax.lax.slice_in_dim(xp, t, t + L, axis=1), kernel[t],
+            (((2,), (0,)), ((), ())), precision=precision)
+        y = yt if y is None else y + yt
+    return y if bias is None else y + bias
+
+
 class GatedConv2d(nn.Module):
     """True GLU downsample block: two parallel conv+IN, signal * sigmoid(gate).
 
@@ -343,6 +365,12 @@ class GatedConv2d(nn.Module):
     param_dtype: Dtype = jnp.float32
     precision: Optional[str] = None
     fused: bool = False
+    # Perf A/B: run the signal/gate convs as two separate lax.convs
+    # instead of one concatenated-kernel conv (the paired downsample
+    # convs measure 158 TF/s vs 174-182 for the best fusions; splitting
+    # changes the emitter's output tiling at the cost of a second input
+    # read). Numerics identical either way.
+    split_pair: bool = False
 
     @nn.compact
     def __call__(self, x, time_mask=None):
@@ -354,9 +382,23 @@ class GatedConv2d(nn.Module):
                                     name="convLayer")()
         k_g, b_g = _NamedConvParams(kshape, fan_in, self.param_dtype,
                                     name="convLayer_gates")()
-        h, g = paired_conv(x, k_h, b_h, k_g, b_g, strides=self.strides,
-                           padding=self.padding, dtype=self.dtype,
-                           precision=self.precision, dims=2)
+        if self.split_pair:
+            pad = [(self.padding[0], self.padding[0]),
+                   (self.padding[1], self.padding[1])]
+
+            def one(k, b):
+                xx, kk, bb = flax_dtypes.promote_dtype(
+                    x, k, b, dtype=self.dtype)
+                return jax.lax.conv_general_dilated(
+                    xx, kk, self.strides, pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=self.precision) + bb
+
+            h, g = one(k_h, b_h), one(k_g, b_g)
+        else:
+            h, g = paired_conv(x, k_h, b_h, k_g, b_g, strides=self.strides,
+                               padding=self.padding, dtype=self.dtype,
+                               precision=self.precision, dims=2)
         norm_h = InstanceNorm(self.features, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="convLayer_norm")
         norm_g = InstanceNorm(self.features, dtype=self.dtype,

@@ -47,6 +47,12 @@ class TrainConfig:
     # (batch-1 scan: 18.98 -> 13.87 ms/it); off at large batch, where
     # the extra concat/slice traffic costs ~2.5% (measured at batch 32).
     pair_forwards: Optional[bool] = None
+    # Residual-stack k3 convs as shifted matmuls (perf A/B, see
+    # models/generator.ResidualBlock.k3_matmul).
+    k3_matmul: bool = False
+    # Split the generator's paired downsample convs into separate convs
+    # (perf A/B, see ops/layers.GatedConv2d.split_pair).
+    split_gated_conv: bool = False
 
     def pair_forwards_resolved(self) -> bool:
         if self.pair_forwards is None:
@@ -104,6 +110,8 @@ def build_models(cfg: TrainConfig):
         dtype=cfg.dtype,
         precision=cfg.precision,
         fused_norms=cfg.fused_norms,
+        k3_matmul=cfg.k3_matmul,
+        split_gated_conv=cfg.split_gated_conv,
     )
     disc = Discriminator(
         residual_channels=cfg.residual_channels,

@@ -129,3 +129,89 @@ def test_discriminator_odd_time(disc):
     x = jnp.asarray(np.random.RandomState(5).randn(1, 80, 100), jnp.float32)
     y = jax.jit(lambda p, x: model.apply(p, x))(params, x)
     assert y.shape == (1, 10, 13)  # ceil(100/8) through three stride-2 convs
+
+
+def test_discriminator_masked_eval_exact_small():
+    """Bucketed masked D eval is EXACT vs the unpadded forward (§5.7).
+
+    T=24 is not a multiple of 8, so every stride boundary and the final
+    k(1,3) conv read across the valid/invalid edge — the leak cases.
+    """
+    model = Discriminator(residual_channels=8, include_dead_params=False)
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(1, 16, 24), jnp.float32)
+    params = fast_init(model, 0, x)
+    y = np.asarray(model.apply(params, x))  # (1, 2, 3)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 8)))  # bucket to T=32
+    yp = np.asarray(model.apply(params, xp, lengths=jnp.array([24])))
+    assert yp.shape == (1, 2, 4)
+    np.testing.assert_array_equal(yp[:, :, 3:], 0.0)  # invalid patches zeroed
+    np.testing.assert_allclose(y, yp[:, :, :3], atol=1e-6)
+
+
+def test_discriminator_masked_eval_full_size(disc):
+    """Full-size masked eval: padded T=100 -> bucket 128 matches unpadded."""
+    model, params, _ = disc
+    rs = np.random.RandomState(8)
+    x = jnp.asarray(rs.randn(2, 80, 100), jnp.float32)
+    y = np.asarray(jax.jit(lambda p, x: model.apply(p, x))(params, x))
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 28)))
+    yp = np.asarray(jax.jit(
+        lambda p, x, l: model.apply(p, x, lengths=l)
+    )(params, xp, jnp.array([100, 100])))
+    assert yp.shape == (2, 10, 16)
+    np.testing.assert_array_equal(yp[:, :, 13:], 0.0)
+    # ~4 chained IN stages amplify f32 reassociation noise; stay tight.
+    np.testing.assert_allclose(y, yp[:, :, :13], atol=2e-5)
+
+
+def test_discriminator_masked_ragged_batch(disc):
+    """Two different lengths in one bucket, each row exact vs unpadded."""
+    model, params, _ = disc
+    rs = np.random.RandomState(9)
+    a = jnp.asarray(rs.randn(1, 80, 64), jnp.float32)
+    b = jnp.asarray(rs.randn(1, 80, 48), jnp.float32)
+    ya = np.asarray(model.apply(params, a))
+    yb = np.asarray(model.apply(params, b))
+
+    xp = jnp.concatenate(
+        [a, jnp.pad(b, ((0, 0), (0, 0), (0, 16)))], axis=0)
+    yp = np.asarray(model.apply(params, xp, lengths=jnp.array([64, 48])))
+    np.testing.assert_allclose(ya[0], yp[0, :, :8], atol=2e-5)
+    np.testing.assert_allclose(yb[0], yp[1, :, :6], atol=2e-5)
+    np.testing.assert_array_equal(yp[1, :, 6:], 0.0)
+
+
+def test_k3_matmul_variant_matches_conv():
+    """ResidualBlock's shifted-matmul k3 path == the lax.conv path
+    (same params, highest precision) — the perf A/B must be a pure
+    lowering change, not a numerics change."""
+    rs = np.random.RandomState(10)
+    x = jnp.asarray(rs.randn(2, 80, 64), jnp.float32)
+    m = jnp.ones_like(x)
+    g0 = Generator(n_mels=80, residual_channels=16, num_residual_blocks=2,
+                   precision="highest")
+    g1 = Generator(n_mels=80, residual_channels=16, num_residual_blocks=2,
+                   precision="highest", k3_matmul=True)
+    params = fast_init(g0, 0, x, m)
+    y0 = np.asarray(g0.apply(params, x, m))
+    y1 = np.asarray(g1.apply(params, x, m))  # identical param tree
+    np.testing.assert_allclose(y0, y1, atol=2e-5, rtol=1e-5)
+
+
+def test_split_gated_conv_variant_matches_paired():
+    """GatedConv2d.split_pair A/B == the paired-conv path bit-for-bit at
+    highest precision (same dot products, different emitter grouping)."""
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(1, 80, 64), jnp.float32)
+    m = jnp.ones_like(x)
+    g0 = Generator(n_mels=80, residual_channels=16, num_residual_blocks=2,
+                   precision="highest")
+    g1 = Generator(n_mels=80, residual_channels=16, num_residual_blocks=2,
+                   precision="highest", split_gated_conv=True)
+    params = fast_init(g0, 0, x, m)
+    np.testing.assert_allclose(np.asarray(g0.apply(params, x, m)),
+                               np.asarray(g1.apply(params, x, m)),
+                               atol=1e-6)
