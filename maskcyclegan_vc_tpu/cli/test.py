@@ -29,16 +29,12 @@ def load_generator_params(ckpt_dir: str, load_epoch: int, model_name: str,
     """Load generator params from our npz or reference pth.tar layout."""
     ours = os.path.join(ckpt_dir, f"{load_epoch:05d}_state.npz")
     if os.path.exists(ours):
-        from maskcyclegan_vc_tpu.io.checkpoint import load_checkpoint
-        from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+        from maskcyclegan_vc_tpu.io.checkpoint import load_checkpoint_subtree
 
-        state = load_checkpoint(
-            ours,
-            create_train_state(
-                TrainConfig(n_mels=n_mels, residual_channels=residual_channels),
-                seed=0))
         key = {"generator_A2B": "A2B", "generator_B2A": "B2A"}[model_name]
-        return state.g_params[key]
+        # Subtree read: one generator's leaves only, not the ~1 GB full
+        # TrainState with optimizer moments.
+        return load_checkpoint_subtree(ours, f"g_params/{key}")
     ref = os.path.join(ckpt_dir, f"{load_epoch:05d}_{model_name}.pth.tar")
     if os.path.exists(ref):
         from maskcyclegan_vc_tpu.io.torch_import import (
@@ -97,9 +93,20 @@ def main(argv=None):
                    help="report DTW-aligned MCD/MSD of each conversion vs "
                         "the index-paired target utterance (VCC2018 eval "
                         "sentences are parallel across speakers)")
+    from maskcyclegan_vc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = p.parse_args(argv)
     from maskcyclegan_vc_tpu.cli.train import print_options
     print(print_options(args), flush=True)
+    # Args snapshot next to the run outputs, reference contract
+    # (/root/reference/args/base_arg_parser.py:80-86 writes
+    # test_args.json into save_dir/name).
+    run_dir = os.path.join(args.save_dir, args.name)
+    os.makedirs(run_dir, exist_ok=True)
+    import json
+    with open(os.path.join(run_dir, "test_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=4, sort_keys=True, default=str)
 
     # A2B converts A's utterances using B's stats for decode (test.py:41-54,94-98).
     if args.model_name == "generator_A2B":

@@ -97,6 +97,9 @@ def print_options(args) -> str:
 
 
 def main(argv=None):
+    from maskcyclegan_vc_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     print(print_options(args), flush=True)
     if args.distributed:

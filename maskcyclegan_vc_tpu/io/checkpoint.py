@@ -85,6 +85,34 @@ def load_checkpoint(path: str, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def load_checkpoint_subtree(path: str, prefix: str) -> Any:
+    """Load only the leaves under ``prefix`` (e.g. ``"g_params/A2B"``) as
+    a nested dict.
+
+    Inference needs one generator (~98 MB of leaves), not the full
+    TrainState (~1 GB with optimizer moments); this reads just the
+    matching npz entries instead of materializing and device-placing the
+    whole state — the conversion CLI and checkpoint-scoring loops use it
+    (cli/test.py::load_generator_params).
+    """
+    out: Dict[str, Any] = {}
+    with np.load(path) as z:
+        for k in z.files:
+            # Dataclass-field path entries stringify with a leading dot
+            # (GetAttrKey: ".g_params/..."); accept the prefix without it.
+            kn = k[1:] if k.startswith(".") else k
+            if not kn.startswith(prefix + "/"):
+                continue
+            parts = kn[len(prefix) + 1:].split("/")
+            d = out
+            for s in parts[:-1]:
+                d = d.setdefault(s, {})
+            d[parts[-1]] = jnp.asarray(z[k])
+    if not out:
+        raise KeyError(f"no leaves under {prefix!r} in {path}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Epoch-tagged checkpoint directories
 # ---------------------------------------------------------------------------

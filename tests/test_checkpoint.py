@@ -107,3 +107,38 @@ def test_import_reference_checkpoints(tmp_path):
         state.d_params["B2"]["params"]["downSample4_conv_kernel"]
     ).transpose(3, 2, 0, 1)
     np.testing.assert_array_equal(w_dead, d_ours)
+
+
+def test_load_checkpoint_subtree_matches_full_load(tmp_path):
+    """Subtree read (one generator) == the same leaves from a full load."""
+    import jax
+
+    from maskcyclegan_vc_tpu.io.checkpoint import (
+        load_checkpoint,
+        load_checkpoint_subtree,
+        save_checkpoint,
+    )
+    from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
+    from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
+
+    cfg = TrainConfig(schedule=ScheduleConfig(), n_mels=8, num_frames=8,
+                      residual_channels=8)
+    state = create_train_state(cfg, seed=3)
+    p = str(tmp_path / "00001_state.npz")
+    save_checkpoint(p, jax.device_get(state), meta={"seed": 3})
+
+    sub = load_checkpoint_subtree(p, "g_params/A2B")
+    full = load_checkpoint(p, state)
+    flat_sub = jax.tree_util.tree_leaves_with_path(sub)
+    flat_full = dict(
+        ("/".join(str(getattr(k, "key", k)) for k in path), leaf)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            full.g_params["A2B"]))
+    assert len(flat_sub) == len(flat_full) > 0
+    for path, leaf in flat_sub:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_full[key]))
+
+    with pytest.raises(KeyError):
+        load_checkpoint_subtree(p, "nonexistent/prefix")
