@@ -48,6 +48,11 @@ def make_sharded_scan_epoch(cfg: TrainConfig, mesh: Mesh, with_identity: bool,
     """
     from maskcyclegan_vc_tpu.data.dataset import sample_batch
 
+    # Keep the pair-forwards heuristic (resolved off cfg.schedule.
+    # batch_size) decided on the batch size actually scanned.
+    assert batch == cfg.schedule.batch_size, (
+        f"scan batch {batch} != cfg.schedule.batch_size "
+        f"{cfg.schedule.batch_size}")
     step_fn = make_train_step(cfg, with_identity)
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)

@@ -291,6 +291,12 @@ def make_scan_epoch(cfg: TrainConfig, with_identity: bool, n_steps: int,
     """
     from maskcyclegan_vc_tpu.data.dataset import sample_batch
 
+    # The pair-forwards heuristic resolves off cfg.schedule.batch_size;
+    # the scan samples `batch` rows. They must agree or the heuristic
+    # would be decided on a batch size different from the one run.
+    assert batch == cfg.schedule.batch_size, (
+        f"scan batch {batch} != cfg.schedule.batch_size "
+        f"{cfg.schedule.batch_size}")
     step_fn = make_train_step(cfg, with_identity)
 
     def epoch_fn(state: TrainState, bank_a, bank_b, base_key):

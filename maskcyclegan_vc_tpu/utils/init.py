@@ -12,7 +12,17 @@ distributions the in-graph initializers declare:
   * norm ``scale`` -> 1, norm ``bias`` -> 0.
 
 The exact RNG stream differs from ``Module.init`` (numpy vs threefry) but
-the distribution matches; parity tests import torch weights anyway.
+the distribution matches for the CycleGAN models (whose declared
+initializers ARE the torch defaults). Known, intentional substitution:
+MelGAN flat-style ``*_kernel`` leaves declare normal(0.02) in
+models/melgan.py but are filled here with the torch-default
+kaiming-uniform (and for its transpose-conv (I,O,K)-layout kernels the
+fan_in below computes O*I rather than the true fan-in). That is
+harmless by construction — production MelGAN weights always come from
+the published torch checkpoint via ``melgan_params_from_torch``, and
+parity tests set identical params on both sides; ``fast_init`` is only
+ever the *shape* source for MelGAN. If randomly-initialized MelGAN
+training is ever added, special-case those leaves first.
 """
 
 from __future__ import annotations
