@@ -52,9 +52,15 @@ LRELU_SLOPE = 0.2
 
 # The packed whole-sample buffers + pipelined in/out blocks need the
 # scoped-vmem limit raised past the 16 MB default (v5e has headroom);
-# this budget gates which shapes attempt the fused path at all.
+# this budget gates which shapes attempt the fused path at all. The
+# estimate (melgan_resstack_vmem_bytes) accounts for EVERY resident
+# buffer — chain scratch, f32 pack/unpack staging, double-buffered
+# in/out pipeline blocks, weight blocks — and a test pins it against
+# the buffers the pallas_call actually declares, so the budget can sit
+# close to the compiler limit without admitting a shape that fails at
+# Mosaic compile time.
 _VMEM_LIMIT = 100 * 1024 * 1024
-_VMEM_BUDGET = 48 * (1 << 20)
+_VMEM_BUDGET = _VMEM_LIMIT
 
 
 def _lrelu(x):
@@ -228,11 +234,31 @@ def _stage_kernel(x_ref, k3_ref, b1_ref, km_ref, bm_ref, *rest, p, C, W,
 
 
 def melgan_resstack_vmem_bytes(W: int, C: int, itemsize: int) -> int:
+    """Upper bound on the kernel's resident VMEM for a (B, W, C) stage.
+
+    Covers every buffer the pallas_call declares, for both the plain and
+    the tail-fused variant (tests/test_melgan_stack.py::
+    test_vmem_estimate_covers_declared_buffers pins this against the
+    actual scratch_shapes/BlockSpecs): the 3 chain scratch buffers, the
+    matmul chunk scratch, the always-allocated f32 pack/unpack staging
+    (W*C*4 — 2x the per-buffer bf16 term), the double-buffered
+    input/output pipeline blocks, and the weight blocks.
+    """
     p = _pack_factor(C)
     Wp = max(1, W // p)
     rows = Wp + 2 * _margin(p)
     lanes = max(p * C, 128)  # VMEM pads lanes to 128
-    return 3 * rows * lanes * itemsize + 4 * Wp * lanes * itemsize
+    scratch = (3 * rows + _chunk_rows(Wp) * 2) * lanes * itemsize
+    scratch += W * max(C, 128) * 4  # f32 pack/unpack staging
+    # Pipelined in/out blocks (x and the stage output), double-buffered.
+    io = 2 * 2 * W * max(C, 128) * itemsize
+    # Constant weight blocks: k3 (sum(sizes), PC, PC), b1 (3,1,PC),
+    # km (3, 2PC, PC), bm (3,1,PC), plus the tail variant's k7/b7;
+    # double-buffered too (Pallas revolves all blocks uniformly).
+    n_taps = sum(len(_offsets(d, p)) for d in DILATIONS)
+    n7 = 2 * (-(-3 // p)) + 1
+    weights = (n_taps * lanes + 3 * 2 * lanes + 12 + n7 * 128) * lanes * itemsize
+    return scratch + io + 2 * weights
 
 
 def melgan_resstack(x, block_params, interpret: bool = False,
