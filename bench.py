@@ -12,14 +12,23 @@ step processes 47.55 audio-seconds.
 the ratio is against REALTIME (1.0 = training consumes audio as fast as
 it plays) — the natural absolute yardstick for speech pipelines.
 
-``--vocoder 1`` additionally decodes the converted mels to waveforms
-with the JAX MelGAN generator inside the measured loop (BASELINE
-config 5: train + vocoder decode in-loop, waveform eval on TPU) and
-reports the combined throughput under
-``metric=audio_seconds_per_second_per_chip_e2e``.
+The default invocation measures every headline config in ONE run and
+prints ONE merged JSON line, so the round artifact (BENCH_r*.json) is
+self-contained:
+
+  * identity-on step (BASELINE config 2) — the primary metric block;
+  * identity-off step (``identity_off_*`` keys) — the steady state for
+    ~98% of the canonical 500k-step run (stop_identity_after=1e4);
+  * train + in-loop MelGAN vocoder decode (``e2e_vocoder_*`` keys,
+    BASELINE config 5);
+  * the reference's canonical batch-1 scan config
+    (``batch1_scan_ms_per_it``).
+
+``--all 0`` restricts to the single config selected by ``--identity`` /
+``--vocoder`` (the pre-round-5 behavior, useful for A/B runs).
 
 Usage: python bench.py [--batch 32] [--frames 128] [--steps 20]
-                       [--dtype bfloat16] [--vocoder 0|1]
+                       [--dtype bfloat16] [--all 0|1] [--vocoder 0|1]
 """
 
 import argparse
@@ -31,49 +40,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--frames", type=int, default=128)
-    p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="bfloat16")
-    p.add_argument("--fused_norms", type=int, default=1)
-    p.add_argument("--identity", type=int, default=1,
-                   help="0: bench the post-stop_identity_after executable "
-                        "(the steady state for ~98%% of the canonical run)")
-    p.add_argument("--vocoder", type=int, default=0,
-                   help="1: decode converted mels with MelGAN in-loop "
-                        "(BASELINE config 5)")
-    p.add_argument("--batch1", type=int, default=1,
-                   help="also measure the reference's canonical training "
-                        "config (batch 1, 64 frames, scan-epoch execution; "
-                        "bash_scripts/mask_cyclegan_train.sh:16,18) and "
-                        "report it as batch1_scan_ms_per_it")
-    p.add_argument("--platform", type=str, default=None,
-                   help="override platform (e.g. cpu for smoke)")
-    args = p.parse_args()
+def peak_flops_per_s(device) -> float:
+    """bf16 peak per chip by device kind (0.0 = unknown)."""
+    kind = getattr(device, "device_kind", "").lower()
+    for pat, peak in (
+        ("v6", 918e12),  # Trillium
+        ("v5p", 459e12),
+        ("v5", 197e12),  # v5e reports "TPU v5 lite"
+        ("v4", 275e12),
+    ):
+        if pat in kind:
+            return peak
+    return 0.0
 
-    if args.platform:
-        os.environ["JAX_PLATFORMS"] = args.platform
+
+def bench_step_config(args, with_identity: bool, vocoder: bool):
+    """Measure one step variant; returns (ms/step, flops/step)."""
     import jax
-
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-
     import jax.numpy as jnp
     import numpy as np
 
     from maskcyclegan_vc_tpu.train.schedules import ScheduleConfig
     from maskcyclegan_vc_tpu.train.state import TrainConfig, create_train_state
     from maskcyclegan_vc_tpu.train.step import make_jit_train_step
-
-    hop, sr = 256, 22050
-    audio_seconds_per_step = args.batch * args.frames * hop / sr
 
     cfg = TrainConfig(
         schedule=ScheduleConfig(
@@ -83,34 +72,12 @@ def main():
         num_frames=args.frames,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None,
         fused_norms=bool(args.fused_norms),
+        k3_matmul=bool(args.k3_matmul),
+        split_gated_conv=bool(args.split_gated),
     )
     state = create_train_state(cfg, seed=0)
-    step = make_jit_train_step(cfg, with_identity=bool(args.identity))
+    step = make_jit_train_step(cfg, with_identity=with_identity)
 
-    def step_flops(st, batch):
-        """Per-step FLOPs from XLA's own cost model (for the MFU line)."""
-        try:
-            ca = step.lower(st, batch).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            return float(ca.get("flops", 0.0))
-        except Exception:
-            return 0.0
-
-    def peak_flops_per_s(device) -> float:
-        """bf16 peak per chip by device kind (0.0 = unknown)."""
-        kind = getattr(device, "device_kind", "").lower()
-        for pat, peak in (
-            ("v6", 918e12),  # Trillium
-            ("v5p", 459e12),
-            ("v5", 197e12),  # v5e reports "TPU v5 lite"
-            ("v4", 275e12),
-        ):
-            if pat in kind:
-                return peak
-        return 0.0
-
-    vocoder = bool(args.vocoder)
     if vocoder:
         from maskcyclegan_vc_tpu.models.melgan import MelGANGenerator
         from maskcyclegan_vc_tpu.train.step import make_train_step
@@ -121,7 +88,7 @@ def main():
         melgan = MelGANGenerator(
             dtype=jnp.bfloat16 if args.dtype == "bfloat16" else None)
         mel_params = fast_init(melgan, 0, jnp.zeros((1, 80, 8)))
-        base_step = make_train_step(cfg, with_identity=bool(args.identity),
+        base_step = make_train_step(cfg, with_identity=with_identity,
                                     with_eval_fake=True)
 
         def _step_and_decode(st, batch):
@@ -140,20 +107,36 @@ def main():
         step = jax.jit(_step_and_decode, donate_argnums=(0,))
 
     rs = np.random.RandomState(0)
-    def make_batch(i):
-        b = {
-            "real_A": jnp.asarray(rs.randn(args.batch, 80, args.frames), jnp.float32),
+
+    def make_batch():
+        return {
+            "real_A": jnp.asarray(
+                rs.randn(args.batch, 80, args.frames), jnp.float32),
             "mask_A": jnp.ones((args.batch, 80, args.frames), jnp.float32),
-            "real_B": jnp.asarray(rs.randn(args.batch, 80, args.frames), jnp.float32),
+            "real_B": jnp.asarray(
+                rs.randn(args.batch, 80, args.frames), jnp.float32),
             "mask_B": jnp.ones((args.batch, 80, args.frames), jnp.float32),
         }
-        return b
 
-    batches = [make_batch(i) for i in range(2)]
-    # AOT cost analysis before the loop (donation hasn't consumed state yet;
-    # the persistent compilation cache makes the extra compile cheap).
+    batches = [make_batch() for _ in range(2)]
+
+    def step_flops(st, batch):
+        """Per-step FLOPs from XLA's own cost model (for the MFU line).
+
+        AOT-lowered before the timing loop (donation hasn't consumed the
+        state yet; the persistent compilation cache makes it cheap).
+        """
+        try:
+            ca = step.lower(st, batch).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
     flops = step_flops(state, batches[0])
 
+    wav = None
     for i in range(max(1, args.warmup)):  # >=1 so compile stays out of timing
         if vocoder:
             state, metrics, wav = step(state, batches[i % 2])
@@ -173,41 +156,112 @@ def main():
     final = float(metrics["g_loss"])  # forces all chained steps
     if vocoder:
         assert np.isfinite(float(wav[0, 0]))
-        assert wav.shape == (args.batch, args.frames * hop)
+        assert wav.shape == (args.batch, args.frames * 256)
     dt = (time.perf_counter() - t0) / args.steps
     assert np.isfinite(final)
+    return dt, flops
 
-    # Canonical reference config (batch 1, 64 frames, ~81 iters/epoch) on
-    # the production scan-epoch path — the config the reference actually
-    # trains; per-step host dispatch would dominate it without scan.
-    batch1 = {}
-    if args.batch1:
-        from benchmarks._canonical import STEPS_PER_EPOCH, canonical_batch1_setup
 
-        steps_per_epoch = STEPS_PER_EPOCH
-        st1, bank, epoch_fn = canonical_batch1_setup(
-            jnp.bfloat16 if args.dtype == "bfloat16" else None,
-            bool(args.fused_norms),
-        )
-        key = jax.random.PRNGKey(0)
-        st1, stacked = epoch_fn(st1, bank, bank, key)  # compile + warmup
-        float(stacked["g_loss"][-1])
-        n_epochs = 3
-        t0 = time.perf_counter()
-        for _ in range(n_epochs):
-            st1, stacked = epoch_fn(st1, bank, bank, key)
-        assert np.isfinite(float(stacked["g_loss"][-1]))
-        dt1 = (time.perf_counter() - t0) / (n_epochs * steps_per_epoch)
-        batch1 = {
-            "batch1_scan_ms_per_it": round(dt1 * 1e3, 2),
-            "batch1_audio_s_per_s": round((64 * hop / sr) / dt1, 2),
+def bench_batch1(args):
+    """Canonical reference config (batch 1, 64 frames, ~81 iters/epoch) on
+    the production scan-epoch path — the config the reference actually
+    trains; per-step host dispatch would dominate it without scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarks._canonical import STEPS_PER_EPOCH, canonical_batch1_setup
+
+    st1, bank, epoch_fn = canonical_batch1_setup(
+        jnp.bfloat16 if args.dtype == "bfloat16" else None,
+        bool(args.fused_norms),
+    )
+    key = jax.random.PRNGKey(0)
+    st1, stacked = epoch_fn(st1, bank, bank, key)  # compile + warmup
+    float(stacked["g_loss"][-1])
+    n_epochs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        st1, stacked = epoch_fn(st1, bank, bank, key)
+    assert np.isfinite(float(stacked["g_loss"][-1]))
+    dt1 = (time.perf_counter() - t0) / (n_epochs * STEPS_PER_EPOCH)
+    return {
+        "batch1_scan_ms_per_it": round(dt1 * 1e3, 2),
+        "batch1_audio_s_per_s": round((64 * 256 / 22050) / dt1, 2),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--frames", type=int, default=128)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    p.add_argument("--fused_norms", type=int, default=1)
+    p.add_argument("--k3_matmul", type=int, default=0,
+                   help="A/B: residual-stack k3 convs as shifted matmuls")
+    p.add_argument("--split_gated", type=int, default=0,
+                   help="A/B: paired downsample convs as separate convs")
+    p.add_argument("--all", type=int, default=1,
+                   help="1: measure identity-on, identity-off, vocoder-e2e "
+                        "and batch-1 scan in one merged JSON line (the "
+                        "self-contained round artifact); 0: only the config "
+                        "selected by --identity/--vocoder")
+    p.add_argument("--identity", type=int, default=1,
+                   help="(with --all 0) 0: bench the post-stop_identity_after "
+                        "executable (the steady state for ~98%% of the "
+                        "canonical run)")
+    p.add_argument("--vocoder", type=int, default=0,
+                   help="(with --all 0) 1: decode converted mels with MelGAN "
+                        "in-loop (BASELINE config 5)")
+    p.add_argument("--batch1", type=int, default=1,
+                   help="also measure the canonical batch-1 scan config "
+                        "(bash_scripts/mask_cyclegan_train.sh:16,18); "
+                        "0 skips its extra scan compile")
+    p.add_argument("--platform", type=str, default=None,
+                   help="override platform (e.g. cpu for smoke)")
+    args = p.parse_args()
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+
+    hop, sr = 256, 22050
+    audio_seconds_per_step = args.batch * args.frames * hop / sr
+    peak = peak_flops_per_s(jax.devices()[0])
+
+    if args.all:
+        dt, flops = bench_step_config(args, with_identity=True, vocoder=False)
+        dt_off, _ = bench_step_config(args, with_identity=False, vocoder=False)
+        dt_voc, _ = bench_step_config(args, with_identity=True, vocoder=True)
+        extra = {
+            "identity_off_step_ms": round(dt_off * 1e3, 2),
+            "identity_off_audio_s_per_s": round(audio_seconds_per_step / dt_off, 2),
+            "e2e_vocoder_step_ms": round(dt_voc * 1e3, 2),
+            "e2e_vocoder_audio_s_per_s": round(audio_seconds_per_step / dt_voc, 2),
         }
+        metric_suffix = ""
+    else:
+        vocoder = bool(args.vocoder)
+        dt, flops = bench_step_config(
+            args, with_identity=bool(args.identity), vocoder=vocoder)
+        extra = {}
+        metric_suffix = "_e2e" if vocoder else ""
+
+    batch1 = bench_batch1(args) if args.batch1 else {}
 
     value = audio_seconds_per_step / dt
-    peak = peak_flops_per_s(jax.devices()[0])
     result = {
-        "metric": "audio_seconds_per_second_per_chip"
-                  + ("_e2e" if vocoder else ""),
+        "metric": "audio_seconds_per_second_per_chip" + metric_suffix,
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value, 2),  # baseline = realtime (see docstring)
@@ -224,6 +278,7 @@ def main():
         "tflops_per_s": round(flops / dt / 1e12, 1) if flops else None,
         "mfu": round(flops / dt / peak, 3)
                if flops and peak and args.dtype == "bfloat16" else None,
+        **extra,
         **batch1,
     }
     print(json.dumps(result))
