@@ -1,0 +1,116 @@
+"""Invariants of the committed convergence-evidence artifacts.
+
+benchmarks/convergence_r05.json is produced by a REAL 500-epoch training
+run on the TPU chip (benchmarks/convergence_run.py — through the product
+preprocess/train/convert paths); benchmarks/curve_compare_r05.json by a
+40-step matched-seed torch-vs-JAX comparison (benchmarks/
+curve_compare.py). These tests pin what the artifacts must show — the
+framework trains a model that actually converts voice (VERDICT r4 item
+1) and its dynamics track the reference beyond the unit-test window —
+so a regression that silently breaks training dynamics cannot ship a
+stale artifact unnoticed.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "benchmarks")
+_CONV = os.path.join(_BENCH, "convergence_r05.json")
+_CURVE = os.path.join(_BENCH, "curve_compare_r05.json")
+
+
+@pytest.fixture(scope="module")
+def conv():
+    if not os.path.exists(_CONV):
+        pytest.skip("convergence artifact not yet generated")
+    with open(_CONV) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="module")
+def curve():
+    if not os.path.exists(_CURVE):
+        pytest.skip("curve-compare artifact not yet generated")
+    with open(_CURVE) as f:
+        return json.load(f)
+
+
+def test_convergence_ran_on_tpu_at_scale(conv):
+    assert "TPU" in conv["device"]
+    assert conv["epochs"] >= 300  # "several hundred epochs" (ref README:90)
+    assert len(conv["checkpoints"]) >= 5
+
+
+def test_loss_curves_finite_and_healthy(conv):
+    rows = conv["loss_curves"]
+    assert len(rows) == conv["epochs"]  # one windowed row per epoch
+    g = np.asarray([r["g_loss"] for r in rows])
+    d = np.asarray([r["d_loss"] for r in rows])
+    cyc = np.asarray([r["g_cycle_loss"] for r in rows])
+    assert np.isfinite(g).all() and np.isfinite(d).all()
+    # GAN health band: D never collapses to 0 or explodes (LSGAN on
+    # sigmoid outputs is bounded [0, 1]; 0.5 = chance).
+    assert 0.0 < d.mean() < 1.0
+    assert d[-len(d) // 5:].mean() > 0.01, "D collapsed"
+    # Cycle-consistency learned: last-fifth mean well below the early
+    # epochs (first-10 mean; the per-epoch windows already average over
+    # 20 steps, so the very first window sits below the raw step-0 loss).
+    k = max(1, len(cyc) // 5)
+    early = cyc[:10].mean()
+    assert cyc[-k:].mean() < 0.6 * early, (
+        f"cycle loss did not drop: {early:.3f} -> {cyc[-k:].mean():.3f}")
+
+
+def test_identity_schedule_bit(conv):
+    rows = conv["loss_curves"]
+    ident = np.asarray([r["g_identity_loss"] for r in rows])
+    cutoff_epoch = conv["schedule"]["stop_identity_after"] / conv["steps_per_epoch"]
+    assert ident[0] > 0.0
+    assert (ident[int(cutoff_epoch) + 1:] == 0.0).all()
+
+
+def test_f0_moves_to_target_register(conv):
+    """The one property voice conversion must exhibit: converted A
+    utterances land in B's F0 register, and vice versa."""
+    f0_A = conv["corpus"]["speakers"]["A"]["f0_measured_median"]
+    f0_B = conv["corpus"]["speakers"]["B"]["f0_measured_median"]
+    last = conv["checkpoints"][-1]
+    conv_ab = last["A2B"]["f0_converted_median"]
+    conv_ba = last["B2A"]["f0_converted_median"]
+    # Converted audio must be closer to the target register than to the
+    # source register, in both directions.
+    assert abs(conv_ab - f0_B) < abs(conv_ab - f0_A), (conv_ab, f0_A, f0_B)
+    assert abs(conv_ba - f0_A) < abs(conv_ba - f0_B), (conv_ba, f0_A, f0_B)
+    # And within 10% of the target register.
+    assert abs(conv_ab - f0_B) < 0.1 * f0_B
+    assert abs(conv_ba - f0_A) < 0.1 * f0_A
+
+
+def test_mcd_improves_over_training(conv):
+    """DTW-MCD to the parallel target utterance decreases from the first
+    scored checkpoint to the best one, in both directions."""
+    for d in ("A2B", "B2A"):
+        mcds = [c[d]["mcd_mean"] for c in conv["checkpoints"]]
+        assert np.isfinite(mcds).all()
+        assert min(mcds) < 0.9 * mcds[0], (d, mcds)
+        # The final model is near its best (no late collapse).
+        assert mcds[-1] < 1.15 * min(mcds), (d, mcds)
+
+
+def test_curve_compare_tracks_reference(curve):
+    """40 matched-seed steps: our trajectory stays on the torch
+    reference's loss curve through both schedule boundaries."""
+    assert curve["steps"] >= 40
+    o = np.asarray(curve["ours"])
+    t = np.asarray(curve["torch_reference"])
+    assert o.shape == t.shape and np.isfinite(o).all()
+    # Chaotic GAN dynamics at small R amplify float noise step by step;
+    # the curves must stay within a few percent throughout.
+    rel = np.abs(o - t) / (np.abs(t) + 1e-6)
+    assert float(rel.max()) < 0.05, f"max rel deviation {rel.max():.4f}"
+    assert curve["decay_after"] < curve["steps"]
+    assert curve["stop_identity_after"] < curve["steps"]
