@@ -114,3 +114,19 @@ def test_curve_compare_tracks_reference(curve):
     assert float(rel.max()) < 0.05, f"max rel deviation {rel.max():.4f}"
     assert curve["decay_after"] < curve["steps"]
     assert curve["stop_identity_after"] < curve["steps"]
+
+
+def test_pairwise_artifact_covers_all_pairs():
+    """BASELINE config 4 driven for real: the committed artifact must
+    show every pair of the 3-speaker matrix trained, checkpointed, and
+    converted on the chip (benchmarks/pairwise_run.py)."""
+    path = os.path.join(_BENCH, "pairwise_r05.json")
+    if not os.path.exists(path):
+        pytest.skip("pairwise artifact not yet generated")
+    with open(path) as f:
+        a = json.load(f)
+    assert "TPU" in a["device"]
+    assert len(a["pairs"]) == 3  # full pairwise matrix at N=3
+    for row in a["pairs"]:
+        assert row["checkpoints"], row
+        assert row["conversions"] >= 2, row
