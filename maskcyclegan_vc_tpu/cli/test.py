@@ -93,6 +93,12 @@ def main(argv=None):
                    help="report DTW-aligned MCD/MSD of each conversion vs "
                         "the index-paired target utterance (VCC2018 eval "
                         "sentences are parallel across speakers)")
+    p.add_argument("--griffin_lim", action="store_true",
+                   help="without --vocoder_ckpt, decode audible wavs via "
+                        "Griffin-Lim phase retrieval (no learned vocoder "
+                        "needed; lower quality than MelGAN) instead of "
+                        "writing .npy mels")
+    p.add_argument("--griffin_lim_iters", type=int, default=60)
     from maskcyclegan_vc_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
@@ -158,7 +164,24 @@ def main(argv=None):
             msds.append(mel_spectral_distance(fake_db, tgt_db, path))
         stem_c = f"{i}-converted_{src_id}_to_{tgt_id}"
         stem_o = f"{i}-original_{src_id}_to_{tgt_id}"
-        if vocoder is None:
+        if vocoder is None and args.griffin_lim:
+            from maskcyclegan_vc_tpu.data.audio_io import write_wav
+            from maskcyclegan_vc_tpu.data.griffin_lim import (
+                decode_mel_griffin_lim,
+            )
+
+            # Target-speaker denorm for the conversion, source stats for
+            # the original — same contract as the vocoder branch
+            # (reference test.py:94-98).
+            wav_c = decode_mel_griffin_lim(fake, tgt_mean, tgt_std,
+                                           n_iter=args.griffin_lim_iters)
+            wav_o = decode_mel_griffin_lim(mel, src_mean, src_std,
+                                           n_iter=args.griffin_lim_iters)
+            write_wav(os.path.join(out_dir, stem_c + ".wav"), wav_c,
+                      args.sample_rate)
+            write_wav(os.path.join(out_dir, stem_o + ".wav"), wav_o,
+                      args.sample_rate)
+        elif vocoder is None:
             np.save(os.path.join(out_dir, stem_c + ".npy"), fake)
             np.save(os.path.join(out_dir, stem_o + ".npy"), mel)
         else:
