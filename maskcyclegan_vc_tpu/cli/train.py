@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "device program (removes per-step host dispatch)")
     p.add_argument("--sample_rate", type=int, default=d.sample_rate)
     p.add_argument("--vocoder_ckpt", type=str, default=None)
+    p.add_argument("--plot_audio", choices=["auto", "off"],
+                   default=d.plot_audio,
+                   help="TB audio at plot cadence: auto = MelGAN with "
+                        "--vocoder_ckpt else Griffin-Lim; off disables")
     p.add_argument("--distributed", action="store_true",
                    help="wire jax.distributed for multi-host pods "
                         "(auto-discovers on TPU; see parallel/dist.py)")

@@ -1,3 +1,9 @@
+from maskcyclegan_vc_tpu.eval.f0 import (  # noqa: F401
+    f0_from_log_mel,
+    f0_from_waveform,
+    median_f0,
+    utterance_f0,
+)
 from maskcyclegan_vc_tpu.eval.metrics import (  # noqa: F401
     log_mel_cepstra,
     mcd,

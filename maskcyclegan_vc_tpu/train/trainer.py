@@ -81,6 +81,10 @@ class TrainerArgs:
     scan_epochs: bool = True  # single-device: one lax.scan program per epoch
     sample_rate: int = 22050
     vocoder_ckpt: Optional[str] = None  # torch melgan state_dict for audio logs
+    # TB audio at plot cadence (reference train.py:332-358 always decodes
+    # audio): "auto" = MelGAN when --vocoder_ckpt is given, else
+    # Griffin-Lim (vocoder-free, data/griffin_lim.py); "off" disables.
+    plot_audio: str = "auto"
 
 
 class Trainer:
@@ -338,17 +342,31 @@ class Trainer:
         self.logger.log_spectrogram("fake_B_spec", fake_B, epoch)
         self.logger.log_spectrogram("real_B_spec", real_B, epoch)
         self.logger.log_spectrogram("fake_A_spec", fake_A, epoch)
+        if self.args.plot_audio == "off":
+            return
+        panels = (
+            ("real_A_audio", real_A, self.mean_A, self.std_A),
+            ("fake_B_audio", fake_B, self.mean_B, self.std_B),
+            ("real_B_audio", real_B, self.mean_B, self.std_B),
+            ("fake_A_audio", fake_A, self.mean_A, self.std_A),
+        )
         if self._vocoder is not None:
             gen, params = self._vocoder
             from maskcyclegan_vc_tpu.models.melgan import decode_mel
 
-            for tag, mel, mean, std in (
-                ("real_A_audio", real_A, self.mean_A, self.std_A),
-                ("fake_B_audio", fake_B, self.mean_B, self.std_B),
-                ("real_B_audio", real_B, self.mean_B, self.std_B),
-                ("fake_A_audio", fake_A, self.mean_A, self.std_A),
-            ):
+            for tag, mel, mean, std in panels:
                 wav = np.asarray(decode_mel(
                     gen, params, jnp.asarray(mel)[None],
                     jnp.asarray(mean), jnp.asarray(std)))[0]
+                self.logger.log_audio(tag, wav, epoch, self.args.sample_rate)
+        else:
+            # Vocoder-free fallback: the reference always decodes audio at
+            # plot cadence (train.py:332-358); without a MelGAN checkpoint
+            # we use Griffin-Lim so the TB audio surface stays populated.
+            from maskcyclegan_vc_tpu.data.griffin_lim import (
+                decode_mel_griffin_lim,
+            )
+
+            for tag, mel, mean, std in panels:
+                wav = decode_mel_griffin_lim(mel, mean, std, n_iter=32)
                 self.logger.log_audio(tag, wav, epoch, self.args.sample_rate)

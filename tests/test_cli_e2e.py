@@ -161,7 +161,7 @@ def test_plot_rotates_validation_utterances():
 
     recorded = []
     stub = types.SimpleNamespace(
-        args=TrainerArgs(epochs_per_plot=2),
+        args=TrainerArgs(epochs_per_plot=2, plot_audio="off"),
         mels_A=[np.full((80, 70), i, np.float32) for i in range(3)],
         mels_B=[np.full((80, 70), 10 + i, np.float32) for i in range(2)],
         _convert=lambda mel, d: mel,
@@ -191,3 +191,49 @@ def test_train_cli_options_dump_and_validation_flag():
     assert dump.rstrip().endswith("----------------- End -------------------")
     for key in ("batch_size", "num_frames_validation", "decay_after", "name"):
         assert key in dump
+
+
+def test_plot_with_griffin_lim_audio(corpus):
+    """Plot cadence without a vocoder checkpoint: spectrogram figures plus
+    Griffin-Lim TB audio (the reference always decodes audio at plot
+    epochs, train.py:332-358 — our vocoder-free fallback keeps that
+    surface populated) and a GL-decoded conversion wav from the CLI."""
+    from maskcyclegan_vc_tpu.cli.test import main as test_main
+    from maskcyclegan_vc_tpu.cli.train import main as train_main
+
+    pre = str(corpus / "preprocessed")
+    if not os.path.exists(os.path.join(pre, "VCC2SF3")):
+        pytest.skip("preprocess test must run first")
+    save = str(corpus / "results")
+    train_main([
+        "--name", "e2e_plot",
+        "--save_dir", save,
+        "--preprocessed_data_dir", pre,
+        "--num_epochs", "1",
+        "--batch_size", "1",
+        "--num_frames", "64",
+        "--residual_channels", "8",
+        "--epochs_per_save", "1",
+        "--epochs_per_plot", "1",  # plot (figures + GL audio) at epoch 1
+        "--steps_per_print", "1",
+    ])
+    assert os.path.exists(os.path.join(save, "e2e_plot", "ckpts",
+                                       "00001_state.npz"))
+
+    test_main([
+        "--name", "e2e_plot",
+        "--save_dir", save,
+        "--preprocessed_data_dir", pre,
+        "--ckpt_dir", os.path.join(save, "e2e_plot", "ckpts"),
+        "--load_epoch", "1",
+        "--model_name", "generator_A2B",
+        "--residual_channels", "8",
+        "--griffin_lim", "--griffin_lim_iters", "8",
+    ])
+    wavs = glob.glob(os.path.join(save, "e2e_plot", "converted_audio_1",
+                                  "*-converted_*.wav"))
+    assert len(wavs) == 3
+    from maskcyclegan_vc_tpu.data.audio_io import load_audio
+
+    w = load_audio(wavs[0], target_sr=22050)
+    assert np.isfinite(w).all() and 0 < np.abs(w).max() <= 1.0
