@@ -71,10 +71,15 @@ def _istft(frames: np.ndarray, win: np.ndarray, length: int) -> np.ndarray:
 
 
 def griffin_lim(magnitude, n_iter: int = 60, length: int = None,
-                seed: int = 0) -> np.ndarray:
+                seed: int = 0, momentum: float = 0.99) -> np.ndarray:
     """Phase retrieval: (F, T) magnitudes -> (L,) waveform.
 
-    ``length`` defaults to the frame-aligned (T-1)*hop + n_fft samples.
+    Uses the accelerated ("fast") Griffin-Lim update (Perraudin et al.
+    2013): the projection input is extrapolated with a momentum term,
+    converging to a noticeably cleaner phase estimate at the same
+    iteration count than the classic alternation (``momentum=0``
+    recovers classic GL). ``length`` defaults to the frame-aligned
+    (T-1)*hop + n_fft samples.
     """
     mag = np.asarray(magnitude, np.float64).T  # (T, F)
     T = mag.shape[0]
@@ -86,11 +91,14 @@ def griffin_lim(magnitude, n_iter: int = 60, length: int = None,
     rs = np.random.RandomState(seed)
     phase = rs.uniform(-np.pi, np.pi, size=mag.shape)
     frames = mag * np.exp(1j * phase)
+    prev = np.zeros_like(frames)
     for _ in range(n_iter):
-        x = _istft(frames, win, out_len)
+        x = _istft(frames + momentum * (frames - prev), win, out_len)
         rebuilt = _stft(x, win)
+        prev = frames
         # Keep the target magnitude, adopt the projected phase.
-        frames = mag * np.exp(1j * np.angle(rebuilt))
+        ang = rebuilt / np.maximum(np.abs(rebuilt), 1e-16)
+        frames = mag * ang
     y = _istft(frames, win, out_len)
     peak = np.max(np.abs(y))
     y = y / max(peak, 1e-8) * 0.85
