@@ -146,15 +146,18 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
 
     if args.compute_mcd:
+        from maskcyclegan_vc_tpu.eval.f0 import utterance_f0
         from maskcyclegan_vc_tpu.eval.metrics import (
             mcd_dtw,
             mel_spectral_distance,
         )
 
     convert = make_convert_fn(gen)
-    mcds, msds = [], []
+    mcds, msds, f0_conv = [], [], []
     for i, mel in enumerate(src_mels):
         fake = convert(params, mel)
+        if args.compute_mcd:
+            f0_conv.append(utterance_f0(fake, tgt_mean, tgt_std))
         if args.compute_mcd and i < len(tgt_mels):
             # Compare in the vocoder's (denormalized log10-mel) scale.
             fake_db = fake * tgt_std + tgt_mean
@@ -201,6 +204,18 @@ def main(argv=None):
         # only, not comparable to the paper's published MCD figures.
         print(f"MCD(log-mel-DCT) {np.mean(mcds):.3f} dB (n={len(mcds)}), "
               f"MSD {np.mean(msds):.3f}")
+    if f0_conv:
+        # Absolute, comparable complement to the relative MCD: did the
+        # conversions land in the target speaker's F0 register?
+        from maskcyclegan_vc_tpu.eval.f0 import utterance_f0 as _uf0
+
+        f0_src = float(np.median([_uf0(m, src_mean, src_std)
+                                  for m in src_mels]))
+        f0_tgt = float(np.median([_uf0(m, tgt_mean, tgt_std)
+                                  for m in tgt_mels]))
+        print(f"F0 median: source {f0_src:.1f} Hz -> converted "
+              f"{float(np.median(f0_conv)):.1f} Hz (target register "
+              f"{f0_tgt:.1f} Hz)")
 
 
 if __name__ == "__main__":

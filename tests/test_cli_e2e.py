@@ -237,3 +237,31 @@ def test_plot_with_griffin_lim_audio(corpus):
 
     w = load_audio(wavs[0], target_sr=22050)
     assert np.isfinite(w).all() and 0 < np.abs(w).max() <= 1.0
+
+
+def test_compute_mcd_reports_f0(corpus, capsys):
+    """--compute_mcd also prints the F0 register report (absolute,
+    comparable complement to the relative log-mel-DCT MCD)."""
+    from maskcyclegan_vc_tpu.cli.test import main as test_main
+
+    pre = str(corpus / "preprocessed")
+    save = str(corpus / "results")
+    if not os.path.exists(os.path.join(save, "e2e", "ckpts")):
+        pytest.skip("train test must run first")
+    test_main([
+        "--name", "e2e",
+        "--save_dir", save,
+        "--preprocessed_data_dir", pre,
+        "--ckpt_dir", os.path.join(save, "e2e", "ckpts"),
+        "--load_epoch", "2",
+        "--model_name", "generator_B2A",
+        "--residual_channels", "8",
+        "--compute_mcd",
+    ])
+    out = capsys.readouterr().out
+    f0_line = [l for l in out.splitlines() if l.startswith("F0 median: ")]
+    assert len(f0_line) == 1
+    # source/converted/target registers all parse as finite Hz values
+    nums = [float(tok) for tok in f0_line[0].replace("(", " ").split()
+            if tok.replace(".", "").isdigit()]
+    assert len(nums) == 3 and all(np.isfinite(n) and n > 0 for n in nums)
