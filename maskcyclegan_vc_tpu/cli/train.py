@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distributed", action="store_true",
                    help="wire jax.distributed for multi-host pods "
                         "(auto-discovers on TPU; see parallel/dist.py)")
+    p.add_argument("--grad_allreduce_dtype",
+                   choices=["float32", "bfloat16"],
+                   default=d.grad_allreduce_dtype or "float32",
+                   help="wire dtype for the data-parallel gradient "
+                        "all-reduce; bfloat16 halves the collective "
+                        "bytes for bandwidth-limited (cross-slice DCN) "
+                        "links via the explicit shard_map path "
+                        "(parallel/mesh.make_shardmap_train_step)")
     return p
 
 

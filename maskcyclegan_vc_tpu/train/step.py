@@ -170,10 +170,21 @@ def make_loss_fns(cfg: TrainConfig, with_identity: bool = True):
 
 
 def make_train_step(cfg: TrainConfig, with_identity: bool = True,
-                    with_eval_fake: bool = False):
+                    with_eval_fake: bool = False,
+                    grad_sync=None, metric_sync=None):
     """Build ``train_step(state, batch) -> (state, metrics)`` (pure, jittable).
 
     batch: {"real_A": (B,M,T), "mask_A": (B,M,T), "real_B": ..., "mask_B": ...}
+
+    ``grad_sync`` / ``metric_sync`` are hooks for explicit-collective data
+    parallelism (parallel/mesh.make_shardmap_train_step): ``grad_sync``
+    is applied to the raw generator and discriminator grad trees right
+    after ``value_and_grad`` — under ``shard_map`` it psums the
+    per-device local-batch-mean grads into the global-batch-mean grad,
+    optionally casting to a compressed wire dtype first — and
+    ``metric_sync`` to the scalar metrics (a pmean, so every host
+    reports global means). Under GSPMD (the default sharded path) both
+    stay ``None``: XLA inserts the equivalent reductions itself.
 
     ``with_eval_fake`` adds the A->B conversion of ``real_A`` under the
     UPDATED generator to metrics as ``fake_B_eval``. The D step computes
@@ -209,6 +220,8 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True,
         (g_loss, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.g_params, state.d_params, batch, lam_id
         )
+        if grad_sync is not None:
+            g_grads = grad_sync(g_grads)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = jax.tree.map(lambda p, u: p + u, state.g_params, g_updates)
 
@@ -243,6 +256,8 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True,
         (d_loss, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.d_params, fakes, batch
         )
+        if grad_sync is not None:
+            d_grads = grad_sync(d_grads)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
 
@@ -253,7 +268,10 @@ def make_train_step(cfg: TrainConfig, with_identity: bool = True,
             **g_aux,
             **d_aux,
         }
+        if metric_sync is not None:
+            metrics = metric_sync(metrics)
         if with_eval_fake:
+            # Per-sample tensor — stays device-local, never synced.
             metrics["fake_B_eval"] = generated_B
         new_state = state.replace(
             step=state.step + 1,

@@ -85,6 +85,12 @@ class TrainerArgs:
     # audio): "auto" = MelGAN when --vocoder_ckpt is given, else
     # Griffin-Lim (vocoder-free, data/griffin_lim.py); "off" disables.
     plot_audio: str = "auto"
+    # Wire dtype for the DP gradient all-reduce. None/"float32" keeps the
+    # GSPMD path (XLA-placed f32 collectives — the right default within a
+    # slice, ~97% predicted efficiency); "bfloat16" selects the explicit
+    # shard_map path with compressed-wire psums, halving collective bytes
+    # for cross-slice DCN links (COVERAGE.md scaling roofline).
+    grad_allreduce_dtype: Optional[str] = None
 
 
 class Trainer:
@@ -159,10 +165,21 @@ class Trainer:
         self._step_fns = {}
         sharded = (a.batch_size >= self.n_devices
                    and a.batch_size % self.n_devices == 0)
+        self._compress_grads = a.grad_allreduce_dtype not in (
+            None, "", "float32", "f32")
         if sharded:
             self.state = replicate(self.state, self.mesh)
-            self._make_step = lambda wi: make_sharded_train_step(
-                self.cfg, self.mesh, with_identity=wi)
+            if self._compress_grads:
+                from maskcyclegan_vc_tpu.parallel.mesh import (
+                    make_shardmap_train_step,
+                )
+
+                self._make_step = lambda wi: make_shardmap_train_step(
+                    self.cfg, self.mesh, with_identity=wi,
+                    allreduce_dtype=a.grad_allreduce_dtype)
+            else:
+                self._make_step = lambda wi: make_sharded_train_step(
+                    self.cfg, self.mesh, with_identity=wi)
             self._shard = lambda b: shard_batch(b, self.mesh)
         else:
             from maskcyclegan_vc_tpu.train.step import make_jit_train_step
@@ -240,7 +257,16 @@ class Trainer:
         wi = step <= self._identity_cutoff
         if wi not in self._scan_fns:
             a = self.args
-            if self._sharded:
+            if self._sharded and self._compress_grads:
+                from maskcyclegan_vc_tpu.parallel.mesh import (
+                    make_shardmap_scan_epoch,
+                )
+
+                self._scan_fns[wi] = make_shardmap_scan_epoch(
+                    self.cfg, self.mesh, wi, self.steps_per_epoch,
+                    a.batch_size, a.num_frames, a.max_mask_len,
+                    allreduce_dtype=a.grad_allreduce_dtype)
+            elif self._sharded:
                 from maskcyclegan_vc_tpu.parallel.mesh import (
                     make_sharded_scan_epoch,
                 )

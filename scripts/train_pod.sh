@@ -16,6 +16,10 @@
 # seed-stable for any host count (each host samples the same global
 # batch from the folded step key and contributes only its own rows), so
 # scaling runs are apples-to-apples with single-host runs.
+#
+# Spanning multiple pod slices (gradient all-reduce rides DCN instead of
+# ICI)? Add --grad_allreduce_dtype bfloat16 — halves the collective
+# bytes via the explicit shard_map path (COVERAGE.md scaling roofline).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 # Pod launches must come up multi-process — refuse to run as N silent solo

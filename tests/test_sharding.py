@@ -134,6 +134,107 @@ def test_sharded_checkpoint_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_shardmap_step_matches_gspmd():
+    """The explicit-collective (shard_map + psum) DP step at f32 wire
+    dtype is the hand-written equivalent of the GSPMD step: same synced
+    gradient, same replicated update."""
+    from maskcyclegan_vc_tpu.parallel.mesh import make_shardmap_train_step
+
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    batch = tiny_batch(0)
+
+    state_g = replicate(create_train_state(cfg, seed=0), mesh)
+    step_g = make_sharded_train_step(cfg, mesh, donate=False)
+    state_g1, m_g = step_g(state_g, shard_batch(batch, mesh))
+
+    state_s = replicate(create_train_state(cfg, seed=0), mesh)
+    step_s = make_shardmap_train_step(cfg, mesh, donate=False)
+    state_s1, m_s = step_s(state_s, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(
+        float(m_s["g_loss"]), float(m_g["g_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        float(m_s["d_loss"]), float(m_g["d_loss"]), rtol=2e-5)
+    # Reduction orders may differ (psum-of-local-means vs GSPMD's
+    # partitioned global mean) — params agree to the Adam sign-flip
+    # bound, same rationale as test_sharded_step_matches_single_device.
+    for a, b in zip(jax.tree.leaves(state_s1.g_params),
+                    jax.tree.leaves(state_g1.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(state_s1.d_params),
+                    jax.tree.leaves(state_g1.d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_shardmap_bf16_allreduce_bounded():
+    """bf16 gradient compression: the wire-rounded update stays within
+    the Adam lr bound of the f32 trajectory and trains finitely."""
+    from maskcyclegan_vc_tpu.parallel.mesh import make_shardmap_train_step
+
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+
+    state_f = replicate(create_train_state(cfg, seed=0), mesh)
+    step_f = make_shardmap_train_step(cfg, mesh, donate=False)
+    state_c = replicate(create_train_state(cfg, seed=0), mesh)
+    step_c = make_shardmap_train_step(
+        cfg, mesh, allreduce_dtype="bfloat16", donate=False)
+
+    for i in range(2):
+        b = shard_batch(tiny_batch(i), mesh)
+        state_f, m_f = step_f(state_f, b)
+        state_c, m_c = step_c(state_c, b)
+        assert np.isfinite(float(m_c["g_loss"]))
+        assert np.isfinite(float(m_c["d_loss"]))
+
+    # Each Adam update is lr-bounded per coordinate (lr_g=2e-4); two
+    # steps of bf16-rounded grads can move a coordinate at most a few
+    # lr from the f32 path (sign flips only at grad-noise coordinates).
+    for a, b in zip(jax.tree.leaves(state_c.g_params),
+                    jax.tree.leaves(state_f.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_shardmap_scan_epoch_matches_step_loop():
+    """The explicit-DP scanned epoch (replicated sampling + per-device
+    row slice) follows the step-at-a-time shard_map trajectory — the
+    slice assignment matches shard_batch's contiguous blocks."""
+    from maskcyclegan_vc_tpu.data.dataset import MelBank, sample_batch
+    from maskcyclegan_vc_tpu.parallel.mesh import (
+        make_shardmap_scan_epoch,
+        make_shardmap_train_step,
+    )
+
+    cfg = tiny_cfg()
+    mesh = make_mesh()
+    rs = np.random.RandomState(0)
+    bank = MelBank.from_list(
+        [rs.randn(8, 40).astype(np.float32) for _ in range(4)], min_frames=8)
+    base_key = jax.random.PRNGKey(5)
+    n_steps, batch = 2, 8
+
+    state_a = replicate(create_train_state(cfg, seed=0), mesh)
+    step = make_shardmap_train_step(cfg, mesh, donate=False)
+    losses = []
+    for s in range(n_steps):
+        key = jax.random.fold_in(base_key, s)
+        b = sample_batch(key, bank, bank, batch, 8, 4)
+        state_a, m = step(state_a, shard_batch(jax.device_get(b), mesh))
+        losses.append(float(m["g_loss"]))
+
+    state_b = replicate(create_train_state(cfg, seed=0), mesh)
+    epoch = make_shardmap_scan_epoch(cfg, mesh, True, n_steps, batch, 8, 4)
+    state_b, stacked = epoch(state_b, bank, bank, base_key)
+
+    assert int(state_b.step) == n_steps
+    np.testing.assert_allclose(
+        np.asarray(stacked["g_loss"]), np.asarray(losses), rtol=2e-4)
+    for pa, pb in zip(jax.tree.leaves(state_a.g_params),
+                      jax.tree.leaves(state_b.g_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-3)
+
+
 def test_collective_norm_stats_match_numpy():
     mesh = make_mesh()
     rs = np.random.RandomState(0)
