@@ -29,6 +29,13 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--grad_allreduce_dtype",
+                   choices=["float32", "bfloat16"], default="float32",
+                   help="gradient all-reduce wire dtype; bfloat16 routes "
+                        "through the explicit shard_map step "
+                        "(parallel/mesh.make_shardmap_train_step) — A/B "
+                        "this on a multi-slice pod where the collective "
+                        "rides DCN (COVERAGE.md scaling roofline)")
     p.add_argument("--device_counts", type=int, nargs="*", default=None,
                    help="default: powers of 2 up to the device count")
     args = p.parse_args()
@@ -68,7 +75,15 @@ def main():
         )
         mesh = make_mesh(jax.devices()[:n])
         state = replicate(create_train_state(cfg, seed=0), mesh)
-        step = make_sharded_train_step(cfg, mesh)
+        if args.grad_allreduce_dtype != "float32":
+            from maskcyclegan_vc_tpu.parallel.mesh import (
+                make_shardmap_train_step,
+            )
+
+            step = make_shardmap_train_step(
+                cfg, mesh, allreduce_dtype=args.grad_allreduce_dtype)
+        else:
+            step = make_sharded_train_step(cfg, mesh)
         rs = np.random.RandomState(0)
         batch = shard_batch({
             "real_A": jnp.asarray(rs.randn(b, 80, args.frames), jnp.float32),
@@ -95,6 +110,7 @@ def main():
         # measured count's per-device throughput (base_n need not be 1).
         print(json.dumps({
             "devices": n,
+            "grad_allreduce_dtype": args.grad_allreduce_dtype,
             "global_batch": b,
             "audio_s_per_s": round(rate, 2),
             "step_time_ms": round(dt * 1e3, 2),

@@ -193,6 +193,28 @@ def test_train_cli_options_dump_and_validation_flag():
         assert key in dump
 
 
+def test_train_cli_grad_allreduce_flag_wiring():
+    """--grad_allreduce_dtype reaches the trainer args and resolves the
+    compression predicate: float32 (default) keeps the GSPMD path,
+    bfloat16 selects the explicit shard_map path."""
+    import dataclasses
+
+    from maskcyclegan_vc_tpu.cli.train import build_parser
+    from maskcyclegan_vc_tpu.train.trainer import TrainerArgs
+
+    for flagv, compress in (("float32", False), ("bfloat16", True)):
+        args = build_parser().parse_args(
+            ["--name", "x", "--grad_allreduce_dtype", flagv])
+        targs = TrainerArgs(**{
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(TrainerArgs)
+        })
+        assert targs.grad_allreduce_dtype == flagv
+        # Same predicate Trainer.__init__ evaluates.
+        assert (targs.grad_allreduce_dtype not in
+                (None, "", "float32", "f32")) is compress
+
+
 def test_plot_with_griffin_lim_audio(corpus):
     """Plot cadence without a vocoder checkpoint: spectrogram figures plus
     Griffin-Lim TB audio (the reference always decodes audio at plot
