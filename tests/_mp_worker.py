@@ -101,6 +101,25 @@ scan_checksum = np.array([
     float(np.square(np.asarray(x)).sum())
     for x in jax.tree.leaves(scan_state.g_params)])
 
+# --- Explicit-collective (shard_map) step, bf16 wire (round-5) ---
+# The hand-placed psum path must come up under a real 2-process mesh
+# exactly like GSPMD: same replicated state assembly, same per-process
+# batch slices, collectives spanning both processes.
+from maskcyclegan_vc_tpu.parallel.mesh import make_shardmap_train_step  # noqa: E402
+
+sm_state = replicate(_cts(cfg, seed=0), mesh)
+sm_step = make_shardmap_train_step(
+    cfg, mesh, allreduce_dtype="bfloat16", donate=False)
+sm_c = sm_step.lower(sm_state, batches[0]).compile()
+distributed.global_state.client.wait_at_barrier(
+    "mp_test_shardmap_compile_done", timeout_in_ms=900_000)
+sm_state, sm_metrics = sm_c(sm_state, batches[0])
+sm_loss = float(sm_metrics["g_loss"])
+sm_checksum = np.array([
+    float(np.square(np.asarray(x)).sum())
+    for x in jax.tree.leaves(sm_state.g_params)])
+
 if pid == 0:
     np.savez(out_path, losses=np.array(losses), checksum=checksum,
-             scan_losses=scan_losses, scan_checksum=scan_checksum)
+             scan_losses=scan_losses, scan_checksum=scan_checksum,
+             sm_loss=np.array(sm_loss), sm_checksum=sm_checksum)

@@ -102,6 +102,24 @@ def test_two_process_matches_single_process():
     np.testing.assert_allclose(got["scan_checksum"], scan_checksum,
                                rtol=5e-3, atol=1e-4)
 
+    # Explicit-collective (shard_map + bf16-wire psum) step under the
+    # 2-process mesh vs the single-process run. The loss is computed
+    # before grad sync (pure f32 pmean -> tight); params absorb only
+    # bf16 reduction-order noise, bounded by the Adam step quantum.
+    from maskcyclegan_vc_tpu.parallel.mesh import make_shardmap_train_step
+
+    sm_state = replicate(create_train_state(cfg, seed=0), mesh)
+    sm_step = make_shardmap_train_step(
+        cfg, mesh, allreduce_dtype="bfloat16", donate=False)
+    sm_state, sm_metrics = sm_step(sm_state, shard_batch(tiny_batch(0), mesh))
+    sm_checksum = np.array([
+        float(np.square(np.asarray(x)).sum())
+        for x in jax.tree.leaves(sm_state.g_params)])
+    np.testing.assert_allclose(
+        float(got["sm_loss"]), float(sm_metrics["g_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(got["sm_checksum"], sm_checksum,
+                               rtol=5e-3, atol=1e-4)
+
 
 def _run_dist_probe(extra_env, code):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
