@@ -147,13 +147,33 @@ def main(argv=None):
 
     if args.compute_mcd:
         from maskcyclegan_vc_tpu.eval.f0 import utterance_f0
+        from maskcyclegan_vc_tpu.eval.mcep import mcd_dtw_wav
         from maskcyclegan_vc_tpu.eval.metrics import (
             mcd_dtw,
             mel_spectral_distance,
         )
 
+    # mel -> waveform decoder for whichever backend is active (MelGAN
+    # checkpoint or Griffin-Lim); None = write .npy mels.
+    decode_fn = None
+    if vocoder is not None:
+        from maskcyclegan_vc_tpu.models.melgan import decode_mel
+
+        vg, vp = vocoder
+
+        def decode_fn(mel, mean, std):
+            return np.asarray(decode_mel(
+                vg, vp, jnp.asarray(mel)[None],
+                jnp.asarray(mean), jnp.asarray(std)))[0]
+    elif args.griffin_lim:
+        from maskcyclegan_vc_tpu.data.griffin_lim import decode_mel_griffin_lim
+
+        def decode_fn(mel, mean, std):
+            return decode_mel_griffin_lim(mel, mean, std,
+                                          n_iter=args.griffin_lim_iters)
+
     convert = make_convert_fn(gen)
-    mcds, msds, f0_conv = [], [], []
+    mcds, msds, mcd_wavs, f0_conv = [], [], [], []
     for i, mel in enumerate(src_mels):
         fake = convert(params, mel)
         if args.compute_mcd:
@@ -167,43 +187,39 @@ def main(argv=None):
             msds.append(mel_spectral_distance(fake_db, tgt_db, path))
         stem_c = f"{i}-converted_{src_id}_to_{tgt_id}"
         stem_o = f"{i}-original_{src_id}_to_{tgt_id}"
-        if vocoder is None and args.griffin_lim:
-            from maskcyclegan_vc_tpu.data.audio_io import write_wav
-            from maskcyclegan_vc_tpu.data.griffin_lim import (
-                decode_mel_griffin_lim,
-            )
-
-            # Target-speaker denorm for the conversion, source stats for
-            # the original — same contract as the vocoder branch
-            # (reference test.py:94-98).
-            wav_c = decode_mel_griffin_lim(fake, tgt_mean, tgt_std,
-                                           n_iter=args.griffin_lim_iters)
-            wav_o = decode_mel_griffin_lim(mel, src_mean, src_std,
-                                           n_iter=args.griffin_lim_iters)
-            write_wav(os.path.join(out_dir, stem_c + ".wav"), wav_c,
-                      args.sample_rate)
-            write_wav(os.path.join(out_dir, stem_o + ".wav"), wav_o,
-                      args.sample_rate)
-        elif vocoder is None:
+        if decode_fn is None:
             np.save(os.path.join(out_dir, stem_c + ".npy"), fake)
             np.save(os.path.join(out_dir, stem_o + ".npy"), mel)
         else:
             from maskcyclegan_vc_tpu.data.audio_io import write_wav
-            from maskcyclegan_vc_tpu.models.melgan import decode_mel
 
-            vg, vp = vocoder
-            wav_c = np.asarray(decode_mel(vg, vp, jnp.asarray(fake)[None],
-                                          jnp.asarray(tgt_mean), jnp.asarray(tgt_std)))[0]
-            wav_o = np.asarray(decode_mel(vg, vp, jnp.asarray(mel)[None],
-                                          jnp.asarray(src_mean), jnp.asarray(src_std)))[0]
-            write_wav(os.path.join(out_dir, stem_c + ".wav"), wav_c, args.sample_rate)
-            write_wav(os.path.join(out_dir, stem_o + ".wav"), wav_o, args.sample_rate)
+            # Target-speaker denorm for the conversion, source stats for
+            # the original (reference test.py:94-98).
+            wav_c = decode_fn(fake, tgt_mean, tgt_std)
+            wav_o = decode_fn(mel, src_mean, src_std)
+            write_wav(os.path.join(out_dir, stem_c + ".wav"), wav_c,
+                      args.sample_rate)
+            write_wav(os.path.join(out_dir, stem_o + ".wav"), wav_o,
+                      args.sample_rate)
+            if args.compute_mcd and i < len(tgt_mels):
+                # Published-convention MCD (order-34 warped cepstra,
+                # eval/mcep.py) on waveforms — BOTH sides through the
+                # same decoder, so decoder artifacts cancel in the
+                # comparison.
+                tgt_wav = decode_fn(tgt_mels[i], tgt_mean, tgt_std)
+                mw, _ = mcd_dtw_wav(wav_c, tgt_wav, sr=args.sample_rate)
+                mcd_wavs.append(mw)
     print(f"wrote {len(src_mels)} conversions to {out_dir}")
     if mcds:
         # log-mel-DCT cepstra, not WORLD/SPTK mel-cepstra: relative metric
         # only, not comparable to the paper's published MCD figures.
         print(f"MCD(log-mel-DCT) {np.mean(mcds):.3f} dB (n={len(mcds)}), "
               f"MSD {np.mean(msds):.3f}")
+    if mcd_wavs:
+        # SPTK-convention warped cepstra from the decoded waveforms
+        # (periodogram-based, eval/mcep.py docstring caveat).
+        print(f"MCD(warped-cepstral, wav) {np.mean(mcd_wavs):.3f} dB "
+              f"(n={len(mcd_wavs)})")
     if f0_conv:
         # Absolute, comparable complement to the relative MCD: did the
         # conversions land in the target speaker's F0 register?

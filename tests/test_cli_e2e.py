@@ -287,3 +287,34 @@ def test_compute_mcd_reports_f0(corpus, capsys):
     nums = [float(tok) for tok in f0_line[0].replace("(", " ").split()
             if tok.replace(".", "").isdigit()]
     assert len(nums) == 3 and all(np.isfinite(n) and n > 0 for n in nums)
+    # Without a waveform decoder there is no warped-cepstral wav MCD.
+    assert "MCD(warped-cepstral, wav)" not in out
+
+
+def test_compute_mcd_wav_with_griffin_lim(corpus, capsys):
+    """With a waveform decoder active, --compute_mcd additionally reports
+    the published-convention warped-cepstral MCD on the decoded wavs
+    (eval/mcep.py), both sides through the same decoder."""
+    from maskcyclegan_vc_tpu.cli.test import main as test_main
+
+    pre = str(corpus / "preprocessed")
+    save = str(corpus / "results")
+    if not os.path.exists(os.path.join(save, "e2e", "ckpts")):
+        pytest.skip("train test must run first")
+    test_main([
+        "--name", "e2e",
+        "--save_dir", save,
+        "--preprocessed_data_dir", pre,
+        "--ckpt_dir", os.path.join(save, "e2e", "ckpts"),
+        "--load_epoch", "2",
+        "--model_name", "generator_A2B",
+        "--residual_channels", "8",
+        "--compute_mcd",
+        "--griffin_lim", "--griffin_lim_iters", "4",
+    ])
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines()
+            if l.startswith("MCD(warped-cepstral, wav)")]
+    assert len(line) == 1, out
+    val = float(line[0].split()[2])
+    assert np.isfinite(val) and val > 0
