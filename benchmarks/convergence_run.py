@@ -15,8 +15,11 @@ product CLIs (cli.preprocess / train.Trainer / conversion path):
      --save_every;
   4. scores every checkpoint objectively: conversion F0 shift
      (eval/f0.py — does a converted A utterance land in B's register?)
-     in both directions, and DTW-MCD / MSD against the index-paired
-     parallel target utterance (eval/metrics.py);
+     in both directions, DTW-MCD / MSD against the index-paired
+     parallel target utterance (eval/metrics.py), and the
+     published-convention warped-cepstral MCD (eval/mcep.py) on
+     Griffin-Lim-decoded waveforms — converted and target through the
+     SAME decoder so its artifacts cancel;
   5. writes one JSON artifact with per-epoch loss curves (parsed from
      the run's .log) + per-checkpoint scores. tests/
      test_convergence_artifact.py asserts the committed artifact's
@@ -93,8 +96,10 @@ def main():
     from maskcyclegan_vc_tpu.cli.preprocess import preprocess_speaker
     from maskcyclegan_vc_tpu.cli.test import load_generator_params, make_convert_fn
     from maskcyclegan_vc_tpu.data.dataset import load_speaker
+    from maskcyclegan_vc_tpu.data.griffin_lim import decode_mel_griffin_lim
     from maskcyclegan_vc_tpu.data.synth import make_corpus
     from maskcyclegan_vc_tpu.eval.f0 import utterance_f0
+    from maskcyclegan_vc_tpu.eval.mcep import mcd_dtw_wav
     from maskcyclegan_vc_tpu.eval.metrics import mcd_dtw, mel_spectral_distance
     from maskcyclegan_vc_tpu.io.checkpoint import checkpoint_path
     from maskcyclegan_vc_tpu.models import Generator
@@ -172,7 +177,7 @@ def main():
                 ckpt_dir, ep, f"generator_{direction}")
             s_mels, s_mean, s_std = src
             t_mels, t_mean, t_std, t_f0 = tgt
-            f0_conv, mcds, msds = [], [], []
+            f0_conv, mcds, msds, mcd_wavs = [], [], [], []
             for i, mel in enumerate(s_mels):
                 fake = convert(params, mel)
                 f0_conv.append(utterance_f0(fake, t_mean, t_std))
@@ -183,15 +188,26 @@ def main():
                 m, path = mcd_dtw(fake_db, tgt_db)
                 mcds.append(m)
                 msds.append(mel_spectral_distance(fake_db, tgt_db, path))
+                # Published-convention MCD: order-34 warped cepstra on
+                # waveforms, both sides through the same GL decoder.
+                wav_c = decode_mel_griffin_lim(fake, t_mean, t_std,
+                                               n_iter=24)
+                wav_t = decode_mel_griffin_lim(t_mels[i], t_mean, t_std,
+                                               n_iter=24)
+                mw, _ = mcd_dtw_wav(wav_c, wav_t)
+                mcd_wavs.append(mw)
             row[direction] = {
                 "f0_converted_median": float(np.median(f0_conv)),
                 "f0_converted_all": [round(f, 2) for f in f0_conv],
                 "mcd_mean": float(np.mean(mcds)),
                 "msd_mean": float(np.mean(msds)),
+                "mcd_wav_mean": float(np.mean(mcd_wavs)),
             }
             print(f"    epoch {ep} {direction}: "
                   f"f0 {row[direction]['f0_converted_median']:.1f} Hz, "
-                  f"MCD {row[direction]['mcd_mean']:.3f} dB", flush=True)
+                  f"MCD {row[direction]['mcd_mean']:.3f} dB, "
+                  f"MCD-wav {row[direction]['mcd_wav_mean']:.3f} dB",
+                  flush=True)
         checkpoints.append(row)
 
     log_rows = parse_log(os.path.join(results, run_name, f"{run_name}.log"))

@@ -4,6 +4,11 @@ from maskcyclegan_vc_tpu.eval.f0 import (  # noqa: F401
     median_f0,
     utterance_f0,
 )
+from maskcyclegan_vc_tpu.eval.mcep import (  # noqa: F401
+    freqt,
+    mcd_dtw_wav,
+    mcep_from_wav,
+)
 from maskcyclegan_vc_tpu.eval.metrics import (  # noqa: F401
     log_mel_cepstra,
     mcd,

@@ -2,6 +2,7 @@ from maskcyclegan_vc_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     make_sharded_train_step,
+    make_shardmap_train_step,
     replicate,
     replicated_sharding,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "batch_sharding",
     "make_mesh",
     "make_sharded_train_step",
+    "make_shardmap_train_step",
     "replicate",
     "replicated_sharding",
 ]

@@ -101,6 +101,19 @@ def test_mcd_improves_over_training(conv):
         assert mcds[-1] < 1.15 * min(mcds), (d, mcds)
 
 
+def test_mcd_wav_improves_over_training(conv):
+    """Published-convention warped-cepstral MCD (eval/mcep.py) on the
+    Griffin-Lim-decoded waveforms also improves from the first scored
+    checkpoint, with no late collapse."""
+    if "mcd_wav_mean" not in conv["checkpoints"][0]["A2B"]:
+        pytest.skip("artifact predates waveform MCD scoring")
+    for d in ("A2B", "B2A"):
+        vals = [c[d]["mcd_wav_mean"] for c in conv["checkpoints"]]
+        assert np.isfinite(vals).all()
+        assert min(vals) < vals[0], (d, vals)
+        assert vals[-1] < 1.2 * min(vals), (d, vals)
+
+
 def test_curve_compare_tracks_reference(curve):
     """40 matched-seed steps: our trajectory stays on the torch
     reference's loss curve through both schedule boundaries."""
