@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distributed", action="store_true",
                    help="wire jax.distributed for multi-host pods "
                         "(auto-discovers on TPU; see parallel/dist.py)")
+    p.add_argument("--async_save", type=int, choices=[0, 1],
+                   default=int(d.async_save),
+                   help="overlap checkpoint file writes with training "
+                        "(atomicity unchanged; 0 = synchronous saves)")
     p.add_argument("--grad_allreduce_dtype",
                    choices=["float32", "bfloat16"],
                    default=d.grad_allreduce_dtype or "float32",

@@ -22,6 +22,7 @@ import numpy as np
 
 from maskcyclegan_vc_tpu.data.dataset import MelBank, load_speaker, sample_batch
 from maskcyclegan_vc_tpu.io.checkpoint import (
+    AsyncSaver,
     checkpoint_path,
     latest_epoch,
     load_checkpoint,
@@ -91,6 +92,10 @@ class TrainerArgs:
     # shard_map path with compressed-wire psums, halving collective bytes
     # for cross-slice DCN links (COVERAGE.md scaling roofline).
     grad_allreduce_dtype: Optional[str] = None
+    # Overlap the ~1 GB checkpoint file write with the following epochs
+    # (io/checkpoint.AsyncSaver; the device->host fetch stays
+    # synchronous). 0 to force fully synchronous saves.
+    async_save: bool = True
 
 
 class Trainer:
@@ -213,6 +218,7 @@ class Trainer:
         self.logger = TrainLogger(
             a.save_dir, a.name, steps_per_print=a.steps_per_print,
             config=dataclasses.asdict(a))
+        self._saver = AsyncSaver()
         self.base_key = jax.random.PRNGKey(a.seed)
         self.steps_per_epoch = sched.steps_per_epoch
 
@@ -319,22 +325,34 @@ class Trainer:
                 self._save(epoch)
             self.logger.write(
                 f"epoch {epoch} done in {time.time() - t0:.1f}s", console=False)
+        # Flush the in-flight async checkpoint write (and surface any
+        # write error) before declaring the run finished.
+        self._saver.wait()
         self.logger.close()
 
     def _save(self, epoch: int):
         if jax.process_index() != 0:
             return
-        save_checkpoint(
-            checkpoint_path(self.ckpt_dir, epoch),
-            jax.device_get(self.state),
-            meta={
-                "seed": self.args.seed,
-                "epoch": epoch,
-                "mean_A": self.mean_A, "std_A": self.std_A,
-                "mean_B": self.mean_B, "std_B": self.std_B,
-            })
-        if self.args.max_ckpts > 0:
-            rotate_checkpoints(self.ckpt_dir, self.args.max_ckpts)
+        path = checkpoint_path(self.ckpt_dir, epoch)
+        # The fetch is synchronous either way — the state's device
+        # buffers are donated to the next step executable.
+        host_state = jax.device_get(self.state)
+        meta = {
+            "seed": self.args.seed,
+            "epoch": epoch,
+            "mean_A": self.mean_A, "std_A": self.std_A,
+            "mean_B": self.mean_B, "std_B": self.std_B,
+        }
+
+        def _rotate():
+            if self.args.max_ckpts > 0:
+                rotate_checkpoints(self.ckpt_dir, self.args.max_ckpts)
+
+        if self.args.async_save:
+            self._saver.save(path, host_state, meta, on_done=_rotate)
+        else:
+            save_checkpoint(path, host_state, meta)
+            _rotate()
 
     def _convert(self, mel: np.ndarray, direction: str):
         """Full-utterance conversion (ones mask) with bucketed jit."""

@@ -40,6 +40,44 @@ def test_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_saver_roundtrip_and_ordering(tmp_path):
+    """AsyncSaver writes the identical atomic file; a second save joins
+    the first (one write in flight), and wait() flushes."""
+    from maskcyclegan_vc_tpu.io.checkpoint import AsyncSaver
+
+    state = create_train_state(tiny_cfg(), seed=0)
+    host = jax.device_get(state)
+    saver = AsyncSaver()
+    done = []
+    saver.save(checkpoint_path(str(tmp_path), 1), host, {"seed": 0},
+               on_done=lambda: done.append(1))
+    saver.save(checkpoint_path(str(tmp_path), 2), host, {"seed": 0},
+               on_done=lambda: done.append(2))
+    saver.wait()
+    assert done == [1, 2]
+    assert latest_epoch(str(tmp_path)) == 2
+    restored = load_checkpoint(
+        checkpoint_path(str(tmp_path), 1), create_train_state(tiny_cfg(), 9))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # no stray .tmp files
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp")]
+
+
+def test_async_saver_surfaces_write_errors(tmp_path):
+    from maskcyclegan_vc_tpu.io.checkpoint import AsyncSaver
+
+    saver = AsyncSaver()
+    # Unwritable destination: parent is a FILE, so mkdir/open fails in
+    # the worker; the error must re-raise on wait(), not vanish.
+    blocker = tmp_path / "blocked"
+    blocker.write_text("x")
+    saver.save(str(blocker / "00001_state.npz"), {"a": np.zeros(2)})
+    with pytest.raises(Exception):
+        saver.wait()
+    saver.wait()  # error consumed; saver reusable
+
+
 def test_atomic_no_partial(tmp_path):
     state = create_train_state(tiny_cfg(), seed=0)
     p = checkpoint_path(str(tmp_path), 1)

@@ -117,6 +117,16 @@ def test_mcd_wav_zero_and_gain_invariant():
     np.testing.assert_allclose(mcd_frames(mc, mc), 0.0, atol=1e-12)
 
 
+def test_mcep_silent_input_finite():
+    """All-zero audio hits the absolute log floor (frame peak 0) and must
+    stay finite end to end."""
+    silent = np.zeros(22050 // 2)
+    mc = mcep_from_wav(silent)
+    assert np.isfinite(mc).all()
+    d, _ = mcd_dtw_wav(silent, _harmonic_tone(220.0))
+    assert np.isfinite(d) and d > 0
+
+
 def test_mcd_wav_separates_spectra():
     a = _harmonic_tone(220.0, tilt=0.8)
     b = _harmonic_tone(330.0, tilt=0.4)
