@@ -124,6 +124,36 @@ def test_train_and_convert_cli(corpus, capsys):
     assert np.isfinite(float(mcd_line[0].split()[1]))
 
 
+def test_train_cli_sync_save_path(corpus):
+    """--async_save 0 forces the synchronous save branch; checkpoints
+    and rotation behave identically (the default e2e runs cover the
+    async branch)."""
+    from maskcyclegan_vc_tpu.cli.train import main as train_main
+
+    pre = str(corpus / "preprocessed")
+    if not os.path.exists(os.path.join(pre, "VCC2SF3")):
+        pytest.skip("preprocess test must run first")
+    save = str(corpus / "results")
+    train_main([
+        "--name", "e2e_sync",
+        "--save_dir", save,
+        "--preprocessed_data_dir", pre,
+        "--num_epochs", "2",
+        "--batch_size", "1",
+        "--num_frames", "64",
+        "--residual_channels", "8",
+        "--epochs_per_save", "1",
+        "--epochs_per_plot", "1000",
+        "--steps_per_print", "1",
+        "--async_save", "0",
+        "--max_ckpts", "1",
+    ])
+    ckpts = sorted(glob.glob(os.path.join(save, "e2e_sync", "ckpts",
+                                          "*_state.npz")))
+    # Rotation ran synchronously too: only the newest survives.
+    assert [os.path.basename(c) for c in ckpts] == ["00002_state.npz"]
+
+
 def test_resume_continues(corpus):
     from maskcyclegan_vc_tpu.cli.train import main as train_main
     from maskcyclegan_vc_tpu.io.checkpoint import latest_epoch
