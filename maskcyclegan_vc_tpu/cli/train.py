@@ -12,8 +12,10 @@ TPU-specific additions: --dtype (auto = bfloat16 MXU compute on TPU),
 --fused_norms (auto = Pallas fused IN(+gate) epilogues on TPU), --remat,
 --ref_compat_lr (reproduce the reference's LR-decay bug for
 matched-dynamics runs), --vocoder_ckpt (torch melgan weights for in-loop
-audio logging). The defaults give the benchmarked fast path on TPU with
-no extra flags.
+audio logging), --grad_allreduce_dtype bfloat16 (compressed-wire
+gradient psums for cross-slice DCN data parallelism), --async_save
+(checkpoint file writes overlapped with training, default on). The
+defaults give the benchmarked fast path on TPU with no extra flags.
 """
 
 from __future__ import annotations

