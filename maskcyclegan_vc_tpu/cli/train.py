@@ -14,8 +14,9 @@ TPU-specific additions: --dtype (auto = bfloat16 MXU compute on TPU),
 matched-dynamics runs), --vocoder_ckpt (torch melgan weights for in-loop
 audio logging), --grad_allreduce_dtype bfloat16 (compressed-wire
 gradient psums for cross-slice DCN data parallelism), --async_save
-(checkpoint file writes overlapped with training, default on). The
-defaults give the benchmarked fast path on TPU with no extra flags.
+(checkpoint file writes overlapped with training, default on),
+--finite_check (NaN sanitizer cadence, SURVEY §5.2). The defaults give
+the benchmarked fast path on TPU with no extra flags.
 """
 
 from __future__ import annotations
@@ -93,6 +94,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=int(d.async_save),
                    help="overlap checkpoint file writes with training "
                         "(atomicity unchanged; 0 = synchronous saves)")
+    p.add_argument("--finite_check", choices=["off", "metrics", "params"],
+                   default=d.finite_check,
+                   help="NaN/Inf sanitizer cadence (utils/debug.py): "
+                        "metrics = raise at epoch end if a logged loss "
+                        "went non-finite (free — scalars are already "
+                        "fetched); params = also sweep the full state "
+                        "before every checkpoint write so a diverged "
+                        "run never overwrites its last good checkpoint")
     p.add_argument("--grad_allreduce_dtype",
                    choices=["float32", "bfloat16"],
                    default=d.grad_allreduce_dtype or "float32",

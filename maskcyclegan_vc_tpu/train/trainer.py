@@ -96,6 +96,13 @@ class TrainerArgs:
     # (io/checkpoint.AsyncSaver; the device->host fetch stays
     # synchronous). 0 to force fully synchronous saves.
     async_save: bool = True
+    # Sanitizer cadence (SURVEY §5.2, utils/debug.check_finite):
+    # "metrics" (default) raises at epoch end if any logged loss went
+    # NaN/Inf — one host-side isfinite over scalars already fetched for
+    # logging, so it is free; "params" additionally sweeps the full
+    # state pytree before every checkpoint write, so a poisoned run can
+    # never overwrite its last good checkpoint; "off" disables both.
+    finite_check: str = "metrics"
 
 
 class Trainer:
@@ -288,6 +295,20 @@ class Trainer:
                     a.num_frames, a.max_mask_len)
         return self._scan_fns[wi]
 
+    def _check_metrics_finite(self, vals, epoch: int) -> None:
+        """Raise if any logged loss went NaN/Inf (SURVEY §5.2 cadence).
+
+        ``vals`` is host-side (already fetched for logging), so this is a
+        free scalar sweep; a GAN that diverges poisons every later step,
+        so an end-of-epoch check loses at most one epoch of signal.
+        """
+        if self.args.finite_check != "off":
+            from maskcyclegan_vc_tpu.utils.debug import check_finite
+
+            check_finite(vals, f"train metrics at epoch {epoch} (rerun "
+                               "under utils.debug.nan_debug_mode to "
+                               "localize the producing op)")
+
     def train(self):
         a = self.args
         step = int(jax.device_get(self.state.step))
@@ -299,6 +320,7 @@ class Trainer:
                 # One host fetch per epoch, then feed the logger per step.
                 vals = jax.device_get(
                     {k: stacked[k] for k in LOGGED_METRICS})
+                self._check_metrics_finite(vals, epoch)
                 for j in range(self.steps_per_epoch):
                     step += 1
                     self.logger.log_iter(
@@ -306,6 +328,7 @@ class Trainer:
                         {k: float(vals[k][j]) for k in vals},
                         batch_size=a.batch_size)
             else:
+                metrics = None
                 for _ in range(self.steps_per_epoch):
                     key = jax.random.fold_in(self.base_key, step)
                     batch = sample_batch(
@@ -318,6 +341,11 @@ class Trainer:
                         step, epoch,
                         {k: metrics[k] for k in LOGGED_METRICS},
                         batch_size=a.batch_size)
+                # One device sync per epoch: NaNs persist once produced,
+                # so the last step's scalars witness the whole epoch.
+                self._check_metrics_finite(
+                    jax.device_get({k: metrics[k] for k in LOGGED_METRICS}),
+                    epoch)
 
             if epoch % a.epochs_per_plot == 0:
                 self._plot(epoch)
@@ -337,6 +365,14 @@ class Trainer:
         # The fetch is synchronous either way — the state's device
         # buffers are donated to the next step executable.
         host_state = jax.device_get(self.state)
+        if self.args.finite_check == "params":
+            # Never persist a poisoned state over the last good
+            # checkpoint (SURVEY §5.2; ~0.2 s/165M floats at save
+            # cadence only).
+            from maskcyclegan_vc_tpu.utils.debug import check_finite
+
+            check_finite(
+                host_state, f"train state at save epoch {epoch}")
         meta = {
             "seed": self.args.seed,
             "epoch": epoch,

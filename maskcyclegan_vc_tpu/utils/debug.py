@@ -4,10 +4,13 @@ The model has no races to detect (pure functional, single jitted step);
 nondeterminism is a bug by construction since every random draw comes
 from an explicit key. What remains useful:
 
-  * ``check_finite(tree)`` — raise on NaN/Inf anywhere in a pytree
-    (use on metrics/params at a cadence);
+  * ``check_finite(tree)`` — raise on NaN/Inf anywhere in a pytree.
+    Product call sites: the Trainer checks the logged loss scalars at
+    epoch cadence and (``--finite_check params``) the full state pytree
+    before every checkpoint write (train/trainer.py);
   * ``nan_debug_mode()`` — context manager enabling
-    ``jax_debug_nans`` + disabling jit so the failing op is localized.
+    ``jax_debug_nans`` + disabling jit so the failing op is localized
+    (the remedy the Trainer's epoch-cadence error message points at).
 """
 
 from __future__ import annotations
